@@ -1,0 +1,53 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so sharding/multi-chip paths are
+exercised without TPU hardware (SURVEY.md §4: emulate N hosts/chips with
+xla_force_host_platform_device_count).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+RESRC = os.path.join(os.path.dirname(__file__), "..", "resrc")
+
+
+@pytest.fixture(scope="session")
+def subst_data():
+    from gpuseqalign_tpu.io.subst import parse_subst_file
+
+    return parse_subst_file(os.path.join(RESRC, "subst.json"))
+
+
+@pytest.fixture(scope="session")
+def blosum62(subst_data):
+    return subst_data.subst_map["blosum62"]
+
+
+@pytest.fixture(scope="session")
+def seq_data(subst_data):
+    from gpuseqalign_tpu.io.fasta import parse_seq_file
+
+    return parse_seq_file(
+        os.path.join(RESRC, "seq_generated.fa"), subst_data.letter_map
+    )
+
+
+def random_seq(rng, n, letters=25):
+    """Random sequence WITH the prepended header element."""
+    body = rng.integers(0, letters, size=n, dtype=np.int32)
+    return np.concatenate([np.zeros(1, np.int32), body])
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

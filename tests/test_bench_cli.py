@@ -1,0 +1,148 @@
+"""End-to-end CLI differential runs: every algorithm must reproduce the
+oracle's align_cost, score_hash and trace_hash (errstep 5 on mismatch) —
+the reference's own verification strategy (ref: src/benchmark.cpp:119-147).
+"""
+
+import json
+import os
+
+import pytest
+
+from gpuseqalign_tpu.bench.cli import main
+
+RESRC = os.path.join(os.path.dirname(__file__), "..", "resrc")
+
+
+def _write_params(path, algs):
+    with open(path, "w") as f:
+        json.dump(algs, f)
+
+
+def _read_tsv(path):
+    with open(path) as f:
+        lines = [l.rstrip("\n").split("\t") for l in f if l.strip()]
+    header, rows = lines[0], lines[1:]
+    return [dict(zip(header, row)) for row in rows]
+
+
+SMALL_PAIRS = """\
+len1 len1
+len1 len728
+len2 len4
+len31 len33
+len32 len32
+len66 len128
+len196 len256
+len512[2:] len728[:726]
+len384 len728
+"""
+
+ALGS = {
+    "cpu1_st_row": {},
+    "cpu2_st_diag": {},
+    "cpu3_st_diagrow": {"blocksz": [32]},
+    "cpu4_mt_diagrow": {"blocksz": [32]},
+    "tpu1_xla_diag": {},
+    "tpu2_xla_rowscan": {},
+    "tpu3_pallas_dense": {},
+    "tpu7_pallas_mlsp": {"tileBy": [16, 128], "tileBx": [48, 512]},
+}
+
+
+def run_cli(tmp_path, align_kind="nw_lg", algs=ALGS, pairs=SMALL_PAIRS,
+            extra=()):
+    params = tmp_path / "params.json"
+    _write_params(params, algs)
+    pair_file = tmp_path / "pairs.txt"
+    pair_file.write_text(pairs)
+    res = tmp_path / "out.tsv"
+    rc = main([
+        "--substPath", os.path.join(RESRC, "subst.json"),
+        "--algParamPath", str(params),
+        "--seqPath", os.path.join(RESRC, "seq_generated.fa"),
+        "--seqPairPath", str(pair_file),
+        "--resPath", str(res),
+        "--algKind", align_kind,
+        "--fCalcScoreHash", "--fCalcTrace",
+        *extra,
+    ])
+    return rc, _read_tsv(res)
+
+
+def test_cli_nw_lg_all_algorithms_agree(tmp_path):
+    rc, rows = run_cli(tmp_path)
+    assert rc == 0
+    assert all(r["err_step"] == "0" for r in rows), [
+        (r["alg_name"], r["err_step"]) for r in rows if r["err_step"] != "0"
+    ]
+    # Group by pair: all algorithms/params must report identical results.
+    by_pair = {}
+    for r in rows:
+        key = (r["seqY_id"], r["seqX_id"])
+        val = (r["align_cost"], r["score_hash"], r["trace_hash"])
+        by_pair.setdefault(key, set()).add(val)
+    assert len(by_pair) == 9
+    for key, vals in by_pair.items():
+        assert len(vals) == 1, (key, vals)
+    # Transcripts are non-empty and RLE-formatted.
+    for r in rows:
+        assert r["edit_trace"]
+        assert r["edit_trace"][0].isdigit()
+
+
+@pytest.mark.parametrize("kind", ["nw_ag", "sw_lg", "sw_ag"])
+def test_cli_extended_kinds_agree(tmp_path, kind):
+    algs = {
+        "cpu1_st_row": {},
+        "tpu1_xla_diag": {},
+        "tpu2_xla_rowscan": {},
+    }
+    rc, rows = run_cli(
+        tmp_path, align_kind=kind, algs=algs,
+        extra=("--gapeCost", "-2"),
+    )
+    assert rc == 0
+    assert all(r["err_step"] == "0" for r in rows)
+    by_pair = {}
+    for r in rows:
+        key = (r["seqY_id"], r["seqX_id"])
+        by_pair.setdefault(key, set()).add(
+            (r["align_cost"], r["score_hash"], r["trace_hash"])
+        )
+    for key, vals in by_pair.items():
+        assert len(vals) == 1, (key, vals)
+
+
+def test_cli_reference_alias_names(tmp_path):
+    algs = {
+        "NwAlign_Cpu1_St_Row": {},
+        "NwAlign_Gpu1_Ml_Diag": {"threadsPerBlock": [64]},
+        "NwAlign_Gpu8_Mlsp_DiagDiag": {
+            "threadsPerBlockA": [160], "tileBx": [76], "warpDivFactorB": [1]
+        },
+    }
+    rc, rows = run_cli(tmp_path, algs=algs, pairs="len64 len128\n")
+    assert rc == 0
+    assert all(r["err_step"] == "0" for r in rows)
+    assert {r["alg_name"] for r in rows} == set(algs)
+
+
+def test_cli_warmup_and_samples(tmp_path):
+    algs = {"cpu1_st_row": {}}
+    rc, rows = run_cli(
+        tmp_path, algs=algs, pairs="len32 len64\n",
+        extra=("--warmupPerAlign", "1", "--samplesPerAlign", "2"),
+    )
+    assert rc == 0
+    assert len(rows) == 1
+    assert rows[0]["warmup_runs"] == "1"
+    assert rows[0]["sample_runs"] == "2"
+    assert rows[0]["last_run_idx"] == "1"
+
+
+def test_cli_help():
+    assert main(["--help"]) == 0
+
+
+def test_cli_missing_required():
+    assert main(["--seqPath", "x.fa"]) == -1
