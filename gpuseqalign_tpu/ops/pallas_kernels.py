@@ -56,15 +56,13 @@ def _on_tpu() -> bool:
 
 
 def align_pallas_dense(pr: AlgParams, nw: AlgInput, res: AlgResult) -> Status:
-    """Dense wavefront kernel; currently backed by the XLA row-scan while the
-    handwritten Pallas path is wired up (kernel body in pallas_wavefront.py)."""
+    """Dense wavefront kernel (pallas_wavefront.py on TPU; XLA row-scan on
+    other backends and for the spec variants the Pallas path doesn't cover
+    yet)."""
     if _on_tpu() and nw.spec.kind == AlignKind.NW and nw.spec.gap == GapKind.LINEAR:
-        try:
-            from . import pallas_wavefront as pw
+        from . import pallas_wavefront as pw
 
-            return pw.align_dense(pr, nw, res)
-        except Exception:
-            pass
+        return pw.align_dense(pr, nw, res)
     return xk.align_xla_rowscan(pr, nw, res)
 
 
@@ -135,12 +133,10 @@ def align_pallas_mlsp(pr: AlgParams, nw: AlgInput, res: AlgResult) -> Status:
     tile_h, tile_w, trows, tcols = setup
 
     if _on_tpu():
-        try:
-            from . import pallas_wavefront as pw
+        from . import pallas_wavefront as pw
 
+        if pw.mlsp_params_ok(tile_h, tile_w):
             return pw.align_mlsp(pr, nw, res, tile_h, tile_w, trows, tcols)
-        except Exception:
-            pass
 
     sw = res.sw_align
     sw.start()
