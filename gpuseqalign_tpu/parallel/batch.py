@@ -1,0 +1,249 @@
+"""Batched pair-alignment engine: data parallelism over sequence pairs.
+
+The reference aligns pairs strictly sequentially (ref: src/benchmark.cpp:406;
+SURVEY.md §2.9 #10 records "batch-level parallelism: none"), so this engine
+is new, TPU-first capability: pairs are bucketed by padded shape (one XLA
+program per bucket, like the reference pads each pair to tile multiples —
+ref: src/nwalign_gpu3_ml_diagdiag.cu:313-325), stacked, vmapped, and the
+batch axis is sharded across the device mesh with NamedSharding. The fill
+is embarrassingly parallel across pairs — no collective is needed until the
+per-pair results (int32 costs, SW argmax cells) are gathered back.
+
+The device kernel is cost-only: a lax.scan over rows keeping one carry row,
+O(cols) device memory per pair, with the align cost captured in-scan at the
+true (unpadded) bottom-right cell, so arbitrarily long batches of mixed
+lengths share one compiled program per bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh
+
+from ..core.types import AlignKind, AlignSpec, GapKind, NEG_INF_I32
+from .mesh import batch_sharding, replicated
+
+
+def _pad_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+# --------------------------------------------------------------------------
+# Cost-only DP for one (padded) pair. vmapped over the batch.
+# --------------------------------------------------------------------------
+
+
+def _scores_single(subst, y, x, adjr, adjc, gapo, gape, *, kind: str,
+                   gap: str):
+    """Returns (cost, best_i, best_j) for one pair.
+
+    y/x are padded (trailing 0 letters) int32 sequences WITH the header
+    element; adjr/adjc are the true lengths including the header. Padding
+    rows/lanes never influence the captured results: the linear chain-max
+    runs left-to-right so lanes >= adjc never feed lane adjc-1, and rows
+    past adjr-1 only overwrite values already captured.
+    """
+    rows_p = y.shape[0] - 1
+    adjc_p = x.shape[0]
+    is_sw = kind == "sw"
+    affine = gap == "affine"
+    g = gapo
+    ninf = jnp.int32(NEG_INF_I32)
+    offs = jnp.arange(adjc_p, dtype=jnp.int32)
+    lane_valid = offs < adjc
+    SX = subst[:, x]
+
+    if not affine:
+        goffs = offs * g
+        row0 = jnp.zeros(adjc_p, jnp.int32) if is_sw else goffs
+    else:
+        geoffs = offs * gape
+        if is_sw:
+            row0 = jnp.zeros(adjc_p, jnp.int32)
+        else:
+            row0 = jnp.where(offs == 0, 0, gapo + geoffs).astype(jnp.int32)
+
+    cost0 = row0[adjc - 1]
+    best0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0))  # (val, i, j); H[0,:]=0
+
+    def capture(i, row, cost, best):
+        cost = jnp.where(i == adjr - 1, row[adjc - 1], cost)
+        if is_sw:
+            bval, bi, bj = best
+            masked = jnp.where(lane_valid, row, jnp.int32(0))
+            rmax = jnp.max(masked)
+            rj = jnp.argmax(masked).astype(jnp.int32)
+            upd = (i < adjr) & (rmax > bval)
+            best = (
+                jnp.where(upd, rmax, bval),
+                jnp.where(upd, i, bi),
+                jnp.where(upd, rj, bj),
+            )
+        return cost, best
+
+    if not affine:
+        def step(carry, inp):
+            prev, cost, best = carry
+            i, yl = inp
+            srow = SX[yl]
+            cand = jnp.maximum(prev[:-1] + srow[1:], prev[1:] + g)
+            if is_sw:
+                cand = jnp.maximum(cand, 0)
+                first = jnp.int32(0)
+            else:
+                first = i * g
+            a = jnp.concatenate([first[None], cand])
+            row = lax.cummax(a - goffs) + goffs
+            cost, best = capture(i, row, cost, best)
+            return (row, cost, best), None
+
+        (row, cost, best), _ = lax.scan(
+            step, (row0, cost0, best0),
+            (jnp.arange(1, rows_p + 1, dtype=jnp.int32), y[1:]),
+        )
+    else:
+        f0 = jnp.full(adjc_p, ninf, jnp.int32)
+
+        def step(carry, inp):
+            hprev, fprev, cost, best = carry
+            i, yl = inp
+            frow = jnp.maximum(fprev, hprev + gapo) + gape
+            frow = frow.at[0].set(ninf)
+            srow = SX[yl]
+            v = jnp.maximum(hprev[:-1] + srow[1:], frow[1:])
+            if is_sw:
+                h0 = jnp.int32(0)
+                vfull = jnp.concatenate([h0[None], jnp.maximum(v, 0)])
+            else:
+                h0 = gapo + i * gape
+                vfull = jnp.concatenate([h0[None], v])
+            m = lax.cummax(vfull + gapo - geoffs)
+            erow = jnp.concatenate([ninf[None], m[:-1] + geoffs[1:]])
+            hrow = jnp.concatenate([h0[None], jnp.maximum(v, erow[1:])])
+            if is_sw:
+                hrow = jnp.maximum(hrow, 0)
+            cost, best = capture(i, hrow, cost, best)
+            return (hrow, frow, cost, best), None
+
+        (row, _, cost, best), _ = lax.scan(
+            step, (row0, f0, cost0, best0),
+            (jnp.arange(1, rows_p + 1, dtype=jnp.int32), y[1:]),
+        )
+
+    if is_sw:
+        bval, bi, bj = best
+        return bval, bi, bj
+    return cost, jnp.int32(0), jnp.int32(0)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "gap"))
+def scores_batch(subst, ys, xs, adjrs, adjcs, gapo, gape, *, kind: str,
+                 gap: str):
+    """vmapped cost-only alignment over a stacked bucket.
+
+    ys: (B, 1+rows_p), xs: (B, 1+cols_p), adjrs/adjcs: (B,) true lengths.
+    Returns (costs, best_i, best_j), each (B,) int32.
+    """
+    fn = functools.partial(_scores_single, kind=kind, gap=gap)
+    return jax.vmap(fn, in_axes=(None, 0, 0, 0, 0, None, None))(
+        subst, ys, xs, adjrs, adjcs, gapo, gape
+    )
+
+
+# --------------------------------------------------------------------------
+# Host-side bucketing + mesh sharding.
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BatchResult:
+    """Per-pair outputs in input order."""
+
+    costs: np.ndarray  # (N,) int32 align costs
+    best_i: np.ndarray  # (N,) SW argmax row (0 for NW)
+    best_j: np.ndarray  # (N,) SW argmax col (0 for NW)
+    n_buckets: int = 0
+    n_programs: int = 0
+
+
+def bucket_pairs(
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]], quantum: int = 256
+) -> Dict[Tuple[int, int], List[int]]:
+    """Group pair indices by padded (rows_p, cols_p) so each bucket compiles
+    once. quantum bounds recompilation like the reference's tile padding."""
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for idx, (y, x) in enumerate(pairs):
+        key = (
+            _pad_to(max(len(y) - 1, 1), quantum),
+            _pad_to(max(len(x) - 1, 1), quantum),
+        )
+        buckets.setdefault(key, []).append(idx)
+    return buckets
+
+
+def align_pairs_batched(
+    spec: AlignSpec,
+    subst: np.ndarray,
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    gapo: int,
+    gape: int = 0,
+    mesh: Optional[Mesh] = None,
+    quantum: int = 256,
+) -> BatchResult:
+    """Align many pairs (each with header element) data-parallel.
+
+    With a mesh, the stacked batch is placed with NamedSharding over the
+    mesh axis so XLA splits the vmap across chips; the batch is padded to a
+    multiple of the mesh size with dummy pairs (dropped from the output).
+    """
+    n = len(pairs)
+    costs = np.zeros(n, np.int32)
+    best_i = np.zeros(n, np.int32)
+    best_j = np.zeros(n, np.int32)
+    buckets = bucket_pairs(pairs, quantum)
+
+    n_dev = mesh.devices.size if mesh is not None else 1
+    subst_j = jnp.asarray(subst)
+    if mesh is not None:
+        subst_j = jax.device_put(subst_j, replicated(mesh))
+
+    for (rows_p, cols_p), idxs in buckets.items():
+        b = len(idxs)
+        b_pad = _pad_to(b, n_dev)
+        ys = np.zeros((b_pad, 1 + rows_p), np.int32)
+        xs = np.zeros((b_pad, 1 + cols_p), np.int32)
+        adjrs = np.ones(b_pad, np.int32)
+        adjcs = np.ones(b_pad, np.int32)
+        for k, idx in enumerate(idxs):
+            y, x = pairs[idx]
+            ys[k, : len(y)] = y
+            xs[k, : len(x)] = x
+            adjrs[k] = len(y)
+            adjcs[k] = len(x)
+
+        args = (jnp.asarray(ys), jnp.asarray(xs),
+                jnp.asarray(adjrs), jnp.asarray(adjcs))
+        if mesh is not None:
+            sh = batch_sharding(mesh)
+            args = tuple(jax.device_put(a, sh) for a in args)
+
+        c, bi, bj = scores_batch(
+            subst_j, *args, jnp.int32(gapo), jnp.int32(gape),
+            kind=spec.kind.value, gap=spec.gap.value,
+        )
+        c, bi, bj = jax.device_get((c, bi, bj))
+        for k, idx in enumerate(idxs):
+            costs[idx] = c[k]
+            best_i[idx] = bi[k]
+            best_j[idx] = bj[k]
+
+    return BatchResult(costs, best_i, best_j, n_buckets=len(buckets),
+                       n_programs=len(buckets))

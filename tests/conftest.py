@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The env var alone is not enough: platform plugins (e.g. the axon TPU
+# tunnel) can take priority over JAX_PLATFORMS, so pin the platform through
+# the config API before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,126 @@
+"""Multi-chip engines, exercised on the 8-virtual-device CPU mesh
+(conftest sets xla_force_host_platform_device_count=8; SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from gpuseqalign_tpu.core.types import AlgInput, AlgParams, AlgResult, AlignSpec, Status
+from gpuseqalign_tpu.models.oracle import (
+    align_cost_of,
+    oracle_align_dense,
+    oracle_hash_dense,
+    oracle_trace_dense,
+)
+from gpuseqalign_tpu.parallel import (
+    align_giant_mlsp,
+    align_pairs_batched,
+    bucket_pairs,
+    make_mesh,
+)
+from gpuseqalign_tpu.trace.sparse import hash_sparse, trace_sparse
+
+from conftest import random_seq
+
+SPECS = ["nw_lg", "nw_ag", "sw_lg", "sw_ag"]
+
+
+def _mk_pairs(rng, sizes):
+    return [(random_seq(rng, m), random_seq(rng, n)) for m, n in sizes]
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+
+    assert len(jax.devices()) >= 8
+    return make_mesh(8, axis_name="pairs")
+
+
+class TestBatch:
+    SIZES = [(1, 1), (3, 200), (130, 75), (257, 513), (64, 64), (200, 3)]
+
+    @pytest.mark.parametrize("spec_name", SPECS)
+    def test_costs_match_oracle(self, rng, blosum62, spec_name):
+        spec = AlignSpec.from_name(spec_name)
+        gapo, gape = -11, -2
+        pairs = _mk_pairs(rng, self.SIZES)
+        out = align_pairs_batched(spec, blosum62, pairs, gapo, gape)
+        for k, (y, x) in enumerate(pairs):
+            mats = oracle_align_dense(spec, blosum62, y, x, gapo, gape)
+            assert out.costs[k] == align_cost_of(spec, mats), (spec_name, k)
+            if spec_name.startswith("sw"):
+                assert out.best_i[k] == mats["best"][0], (spec_name, k)
+                assert out.best_j[k] == mats["best"][1], (spec_name, k)
+
+    @pytest.mark.parametrize("spec_name", ["nw_lg", "sw_ag"])
+    def test_sharded_matches_unsharded(self, rng, blosum62, mesh8, spec_name):
+        spec = AlignSpec.from_name(spec_name)
+        pairs = _mk_pairs(rng, [(100 + 13 * k, 150 + 7 * k) for k in range(11)])
+        plain = align_pairs_batched(spec, blosum62, pairs, -11, -2)
+        sharded = align_pairs_batched(spec, blosum62, pairs, -11, -2, mesh=mesh8)
+        np.testing.assert_array_equal(plain.costs, sharded.costs)
+        np.testing.assert_array_equal(plain.best_i, sharded.best_i)
+        np.testing.assert_array_equal(plain.best_j, sharded.best_j)
+
+    def test_bucketing(self, rng):
+        pairs = _mk_pairs(rng, [(10, 10), (200, 200), (11, 9), (250, 250)])
+        buckets = bucket_pairs(pairs, quantum=256)
+        assert buckets == {(256, 256): [0, 1, 2, 3]}
+        buckets = bucket_pairs(pairs, quantum=128)
+        assert buckets == {(128, 128): [0, 2], (256, 256): [1, 3]}
+
+
+class TestGiant:
+    @pytest.mark.parametrize("rows,cols", [(300, 2100), (128, 1024), (1, 1),
+                                           (5, 2000), (700, 1100)])
+    def test_matches_oracle_full(self, rng, blosum62, rows, cols):
+        """Distributed fill over 8 CPU devices: cost + sparse trace + sparse
+        hash must all equal the dense oracle."""
+        mesh = make_mesh(8, axis_name="sp")
+        spec = AlignSpec.from_name("nw_lg")
+        gapo = -11
+        y = random_seq(rng, rows)
+        x = random_seq(rng, cols)
+
+        nw = AlgInput()
+        nw.subst = blosum62
+        nw.substsz = blosum62.shape[0]
+        nw.seqY, nw.seqX = y, x
+        nw.adjrows, nw.adjcols = len(y), len(x)
+        nw.gapo_cost = gapo
+        nw.spec = spec
+
+        res = AlgResult()
+        stat = align_giant_mlsp(AlgParams({"blockH": [128]}), nw, res, mesh=mesh)
+        assert stat == Status.success
+
+        mats = oracle_align_dense(spec, blosum62, y, x, gapo)
+        assert res.align_cost == int(mats["H"][-1, -1])
+
+        assert trace_sparse(nw, res, False) == Status.success
+        transcript, thash, _ = oracle_trace_dense(
+            spec, mats, blosum62, y, x, gapo
+        )
+        assert res.edit_trace == transcript
+        assert res.trace_hash == thash
+
+        assert hash_sparse(nw, res) == Status.success
+        assert res.score_hash == oracle_hash_dense(mats["H"])
+
+    def test_single_device_mesh(self, rng, blosum62):
+        mesh = make_mesh(1, axis_name="sp")
+        spec = AlignSpec.from_name("nw_lg")
+        y = random_seq(rng, 77)
+        x = random_seq(rng, 333)
+        nw = AlgInput()
+        nw.subst = blosum62
+        nw.substsz = blosum62.shape[0]
+        nw.seqY, nw.seqX = y, x
+        nw.adjrows, nw.adjcols = len(y), len(x)
+        nw.gapo_cost = -11
+        nw.spec = spec
+        res = AlgResult()
+        stat = align_giant_mlsp(AlgParams({}), nw, res, mesh=mesh)
+        assert stat == Status.success
+        mats = oracle_align_dense(spec, blosum62, y, x, -11)
+        assert res.align_cost == int(mats["H"][-1, -1])
