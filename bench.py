@@ -2,20 +2,28 @@
 
 Problem: the reference's release workload — one len23728 x len23728 pair
 (resrc/pair_release.txt, ref: README.md:117-123) with blosum62 / gapoCost
--11. The flagship is the Pallas sparse (mlsp) wavefront kernel; on non-TPU
-backends it falls back to the XLA mlsp row-scan.
+-11. The flagship is the v2 Pallas sparse (mlsp) multi-chain wavefront
+kernel (ops/pallas_wavefront2.py); on non-TPU backends it falls back to
+the XLA mlsp row-scan through the registry path.
 
-GCUPS = (rows * cols) / align.calc seconds (SURVEY.md §6: derived exactly as
-the reference harness records it). vs_baseline is the speedup over the
-reference algorithm (cpu1_st_row, the vectorized CPU oracle that reproduces
-ref: src/nwalign_cpu1_st_row.cpp) measured on the same host on a 4096x4096
-prefix of the same pair.
+Timing: the kernel runs M times inside ONE jitted lax.scan (each iteration
+data-depends on the previous so nothing is elided), and the per-iteration
+time is (T(1+M) - T(1)) / M. This cancels per-dispatch overhead — which
+on a tunneled/remote TPU can be ~26 ms, an order of magnitude above the
+kernel itself — so the number reported is device time, the same quantity
+the reference's cudaDeviceSynchronize-bounded align.calc lap measures
+(SURVEY.md §6: GCUPS = rows*cols / align.calc).
+
+vs_baseline is the speedup over the reference algorithm (cpu1_st_row, the
+vectorized CPU oracle reproducing ref: src/nwalign_cpu1_st_row.cpp) on a
+4096x4096 prefix of the same pair on this host.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -28,7 +36,13 @@ sys.path.insert(0, REPO)
 
 PAIR_N = 23728
 ORACLE_N = 4096
-REPS = 3
+M_ITERS = 8
+# Tuned on v5e (2026-08): R=TW=2048, W=512, K=6 chains -> ~56 GCUPS.
+R, W, TW, K = 2048, 512, 2048, 6
+
+
+def _pad_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
 
 
 def _load_fixture():
@@ -44,14 +58,68 @@ def _load_fixture():
     return subst, y
 
 
-def _time_align(align_fn, reps=REPS):
-    """Median align.calc seconds over reps (after one warmup inside fn)."""
-    from gpuseqalign_tpu.core.types import AlgResult, Status
+def _bench_tpu_v2(subst, seq) -> float:
+    """Device seconds per fill of the PAIR_N x PAIR_N matrix."""
+    import jax
+    import jax.numpy as jnp
+    from gpuseqalign_tpu.ops.pallas_wavefront2 import pallas_mlsp_nw_lg_v2
 
+    n = len(seq) - 1
+    B = _pad_to(-(-n // R), K)
+    rows_p = B * R
+    cols_p = _pad_to(n, TW)
+    y = np.zeros(1 + rows_p, np.int32)
+    y[: len(seq)] = seq
+    x = np.zeros(1 + cols_p, np.int32)
+    x[: len(seq)] = seq
+    subst_d = jnp.asarray(subst)
+    y_d = jnp.asarray(y)
+    x_d = jnp.asarray(x)
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def loop(subst, y, x, gapo, *, m):
+        def body(carry, _):
+            g = gapo + jnp.int32(0) * carry
+            hrow, _hcol = pallas_mlsp_nw_lg_v2(
+                subst, y, x, g, R=R, W=W, TW=TW, K=K
+            )
+            return hrow[0, 0], None
+
+        c, _ = jax.lax.scan(body, jnp.int32(0), None, length=m)
+        return c
+
+    def t_of(m):
+        out = loop(subst_d, y_d, x_d, jnp.int32(-11), m=m)
+        _ = np.asarray(jax.device_get(out))  # warm + force
+        ts = []
+        for _i in range(3):
+            t0 = time.perf_counter()
+            out = loop(subst_d, y_d, x_d, jnp.int32(-11), m=m)
+            _ = np.asarray(jax.device_get(out))
+            ts.append(time.perf_counter() - t0)
+        return float(np.min(ts))
+
+    return (t_of(1 + M_ITERS) - t_of(1)) / M_ITERS
+
+
+def _bench_fallback(subst, seq) -> float:
+    """Non-TPU: registry mlsp path, align.calc lap."""
+    from gpuseqalign_tpu.core.types import AlgInput, AlgParams, AlgResult, Status
+    from gpuseqalign_tpu.ops.pallas_kernels import align_pallas_mlsp
+
+    nw = AlgInput()
+    nw.subst = subst
+    nw.substsz = subst.shape[0]
+    nw.seqY = seq
+    nw.seqX = seq
+    nw.adjrows = nw.adjcols = len(seq)
+    nw.gapo_cost = -11
+    params = AlgParams({"tileBy": [2048], "tileBx": [2048]})
     ts = []
-    for _ in range(reps):
+    for _ in range(3):
+        nw.reset_cycle()
         res = AlgResult()
-        stat = align_fn(res)
+        stat = align_pallas_mlsp(params, nw, res)
         if stat != Status.success:
             raise RuntimeError(f"align failed: {stat!r}")
         ts.append(res.sw_align.get_or_default("align.calc") / 1e3)
@@ -60,36 +128,15 @@ def _time_align(align_fn, reps=REPS):
 
 def main() -> int:
     import jax
-    import jax.numpy as jnp
 
     from gpuseqalign_tpu.core.types import AlgInput, AlgParams, AlgResult, Status
     from gpuseqalign_tpu.models.cpu_algs import align_cpu1_st_row
-    from gpuseqalign_tpu.ops.pallas_kernels import align_pallas_mlsp
 
     subst, y = _load_fixture()
     on_tpu = jax.default_backend() == "tpu"
-
-    nw = AlgInput()
-    nw.subst = subst
-    nw.substsz = subst.shape[0]
-    nw.seqY = y
-    nw.seqX = y
-    nw.adjrows = nw.adjcols = len(y)
-    nw.gapo_cost = -11
     rows = cols = len(y) - 1
 
-    params = AlgParams({"tileBy": [2048], "tileBx": [2048]})
-
-    def run(res):
-        nw.reset_cycle()
-        return align_pallas_mlsp(params, nw, res)
-
-    # Warmup (compile).
-    warm = AlgResult()
-    stat = run(warm)
-    if stat != Status.success:
-        raise RuntimeError(f"warmup failed: {stat!r}")
-    t = _time_align(run)
+    t = _bench_tpu_v2(subst, y) if on_tpu else _bench_fallback(subst, y)
     gcups = rows * cols / t / 1e9
 
     # Reference-algorithm baseline on a prefix (same host).
@@ -109,7 +156,7 @@ def main() -> int:
     oracle_gcups = ORACLE_N * ORACLE_N / t_or / 1e9
 
     metric = (
-        "GCUPS nw_lg pallas_mlsp 23728x23728 (v5e chip)"
+        "GCUPS nw_lg pallas_mlsp_v2 23728x23728 (v5e chip)"
         if on_tpu
         else "GCUPS nw_lg xla_mlsp 23728x23728 (cpu fallback)"
     )

@@ -134,7 +134,12 @@ def align_pallas_mlsp(pr: AlgParams, nw: AlgInput, res: AlgResult) -> Status:
 
     if _on_tpu():
         from . import pallas_wavefront as pw
+        from . import pallas_wavefront2 as pw2
 
+        if pw2.v2_params_ok(tile_h, tile_w, nw.adjrows - 1, nw.adjcols - 1):
+            return pw2.align_mlsp_v2(
+                pr, nw, res, tile_h, tile_w, trows, tcols
+            )
         if pw.mlsp_params_ok(tile_h, tile_w):
             return pw.align_mlsp(pr, nw, res, tile_h, tile_w, trows, tcols)
 
