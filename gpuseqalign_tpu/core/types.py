@@ -204,6 +204,13 @@ class AlgInput:
     tile_hdr_mat_cols: int = 0
     tile_hrow_len: int = 0
     tile_hcol_len: int = 0
+    # Affine-gap extension of the sparse layout (no reference analog — the
+    # reference never implemented affine, ref: README.md:26): a tile's
+    # incoming dependencies under Gotoh are (H, F) along its top row and
+    # (H, E) along its left column, so two more header matrices with the
+    # same layouts carry the F-row / E-col values.
+    tileFrowMat: Optional[np.ndarray] = None
+    tileEcolMat: Optional[np.ndarray] = None
 
     # Debug trace of visited cell values (ref: NwAlgInput::trace).
     trace: Optional[List[int]] = None
@@ -229,7 +236,8 @@ class AlgInput:
     def note_host_alloc(self) -> None:
         total = 0
         for arr in (self.subst, self.seqX, self.seqY, self.score,
-                    self.tileHrowMat, self.tileHcolMat):
+                    self.tileHrowMat, self.tileHcolMat,
+                    self.tileFrowMat, self.tileEcolMat):
             if arr is not None:
                 total += arr.nbytes
         self.host_peak_bytes = max(self.host_peak_bytes, total)
@@ -242,6 +250,8 @@ class AlgInput:
         self.score = None
         self.tileHrowMat = None
         self.tileHcolMat = None
+        self.tileFrowMat = None
+        self.tileEcolMat = None
         self.trace = None
 
 

@@ -309,3 +309,111 @@ def rowscan_mlsp(subst, seqY, seqX, gapo, *, tile_h: int, tile_w: int,
         block_step, (goffs, jnp.int32(1)), yblocks
     )
     return hrows, hcols
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_h", "tile_w", "n_blocks", "kind", "gap")
+)
+def rowscan_mlsp_full(subst, seqY, seqX, gapo, gape, adjr, adjc, *,
+                      tile_h: int, tile_w: int, n_blocks: int, kind: str,
+                      gap: str):
+    """Sparse fill for any spec (NW/SW x linear/affine).
+
+    Returns a dict:
+      hrows: (n_blocks, adjcols)          H rows i = b*tile_h
+      hcols: (n_blocks, tile_h, n_ctiles) H cols j = jt*tile_w
+      frows/ecols (affine): F rows / E cols, same shapes
+      best (SW): (3,) int32 [value, i, j] of the row-major-first argmax
+    """
+    adjc_p = seqX.shape[0]  # padded; the true dims arrive as adjr/adjc
+    is_sw = kind == "sw"
+    affine = gap == "affine"
+    ninf = jnp.int32(NEG_INF_I32)
+    offs = jnp.arange(adjc_p, dtype=jnp.int32)
+    SX = subst[:, seqX]
+    n_ctiles = (adjc_p - 1 + tile_w - 1) // tile_w + 1
+    col_ids = jnp.arange(n_ctiles, dtype=jnp.int32) * tile_w
+
+    g = gapo
+    goffs = offs * g
+    geoffs = offs * gape
+
+    if is_sw:
+        row0 = jnp.zeros(adjc_p, jnp.int32)
+    elif affine:
+        row0 = jnp.where(offs == 0, 0, gapo + geoffs).astype(jnp.int32)
+    else:
+        row0 = goffs
+    f0 = jnp.full(adjc_p, ninf, jnp.int32)
+    best0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+
+    def update_best(best, row, i):
+        # Mask padding: pad letters are real alphabet indices, so padded
+        # cells can be positive under SW's zero clamp.
+        bv, bi, bj = best
+        masked = jnp.where(offs < adjc, row, jnp.int32(0))
+        rmax = jnp.max(masked)
+        rj = jnp.argmax(masked).astype(jnp.int32)
+        upd = (i < adjr) & (rmax > bv)
+        return (
+            jnp.where(upd, rmax, bv),
+            jnp.where(upd, i, bi),
+            jnp.where(upd, rj, bj),
+        )
+
+    def row_step(carry, inp):
+        hprev, fprev, best, i = carry
+        y = inp
+        srow = SX[y]
+        if not affine:
+            cand = jnp.maximum(hprev[:-1] + srow[1:], hprev[1:] + g)
+            if is_sw:
+                cand = jnp.maximum(cand, 0)
+                first = jnp.int32(0)
+            else:
+                first = i * g
+            a = jnp.concatenate([first[None], cand])
+            hrow = lax.cummax(a - goffs) + goffs
+            if is_sw:
+                hrow = jnp.maximum(hrow, 0)
+            frow = fprev
+            erow = fprev  # unused
+        else:
+            frow = jnp.maximum(fprev, hprev + gapo) + gape
+            frow = frow.at[0].set(ninf)
+            v = jnp.maximum(hprev[:-1] + srow[1:], frow[1:])
+            if is_sw:
+                h0 = jnp.int32(0)
+                vfull = jnp.concatenate([h0[None], jnp.maximum(v, 0)])
+            else:
+                h0 = gapo + i * gape
+                vfull = jnp.concatenate([h0[None], v])
+            m = lax.cummax(vfull + gapo - geoffs)
+            erow = jnp.concatenate([ninf[None], m[:-1] + geoffs[1:]])
+            hrow = jnp.concatenate([h0[None], jnp.maximum(v, erow[1:])])
+            if is_sw:
+                hrow = jnp.maximum(hrow, 0)
+        if is_sw:
+            best = update_best(best, hrow, i)
+        return (hrow, frow, best, i + 1), (
+            hrow[col_ids], erow[col_ids] if affine else hrow[col_ids]
+        )
+
+    def block_step(carry, yblock):
+        hprev, fprev, best, i = carry
+        (hrow, frow, best, i2), (colvals, ecolvals) = lax.scan(
+            row_step, (hprev, fprev, best, i), yblock
+        )
+        return (hrow, frow, best, i2), (hprev, fprev, colvals, ecolvals)
+
+    yblocks = seqY[1:].reshape(n_blocks, tile_h)
+    (_, _, best, _), (hrows, frows, hcols, ecols) = lax.scan(
+        block_step, (row0, f0, best0, jnp.int32(1)), yblocks
+    )
+    out = {"hrows": hrows, "hcols": hcols}
+    if affine:
+        out["frows"] = frows
+        out["ecols"] = ecols
+    if is_sw:
+        out["best"] = jnp.stack(best)
+    return out

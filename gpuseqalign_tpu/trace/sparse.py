@@ -7,24 +7,34 @@ ref: src/nwalign_gpu7_mlsp_diagdiag.cu:348-352); the traceback recomputes one
 tile interior at a time from its stored headers, stepping to the up/left
 neighbour tile when it crosses into the header row/column
 (ref: src/nwtrace2_sparse.cpp:186-205). The score hash recomputes the full
-matrix with two rolling rows so the byte stream — and therefore the hash —
-is identical to the dense hash (ref: src/nwtrace2_sparse.cpp:263-340).
+matrix with rolling rows so the byte stream — and therefore the hash — is
+identical to the dense hash (ref: src/nwtrace2_sparse.cpp:263-340).
 
-Currently implemented for the NW linear-gap spec (the reference's parity
-surface); affine/SW sparse ops are routed to their dense equivalents by the
-registry until the E/F header representation lands.
+Spec coverage: NW linear-gap follows the reference walk bit-exactly (the
+parity surface). NW/SW affine and SW linear are capability extensions the
+reference never implemented (ref: README.md:26): affine tiles additionally
+depend on (F top-row, E left-col) headers (AlgInput.tileFrowMat /
+tileEcolMat), and their traceback is the attainment walk defined by the
+oracle (models/oracle.py) so sparse and dense transcripts agree exactly.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import TextIO, Tuple
+from typing import Dict, Optional, TextIO, Tuple
 
 import numpy as np
 
 from ..core.hashing import djb2_array, djb2_init, djb2_ints, djb2_str
 from ..core.transcript import rle_from_edits
-from ..core.types import AlgInput, AlgResult, AlignKind, GapKind, Status
+from ..core.types import (
+    AlgInput,
+    AlgResult,
+    AlignKind,
+    GapKind,
+    NEG_INF_I32,
+    Status,
+)
 from ..models.oracle import _row_chain_max
 
 
@@ -55,9 +65,9 @@ def get_tile_and_elem_ij(nw: AlgInput, i: int, j: int) -> TileCo:
 
 
 def align_tile(tile: np.ndarray, nw: AlgInput, co: TileCo) -> None:
-    """Recompute one tile interior from its stored headers
-    (ref: src/nwtrace2_sparse.cpp:40-96). Rows are computed with the
-    max-plus prefix scan; cells past adjrows/adjcols are zero-filled."""
+    """Recompute one tile's H interior from its stored headers — NW
+    linear-gap (ref: src/nwtrace2_sparse.cpp:40-96). Rows are computed with
+    the max-plus prefix scan; cells past adjrows/adjcols are zero-filled."""
     hrow_len = nw.tile_hrow_len
     hcol_len = nw.tile_hcol_len
     k = nw.tile_hdr_mat_cols * co.i_tile + co.j_tile
@@ -91,14 +101,116 @@ def align_tile(tile: np.ndarray, nw: AlgInput, co: TileCo) -> None:
         tile[i, 1:jend] = row[1:]
 
 
-def _sparse_supported(nw: AlgInput) -> bool:
+def align_tile_full(nw: AlgInput, co: TileCo) -> Dict[str, np.ndarray]:
+    """Recompute the FULL interior of one tile for any spec.
+
+    Returns {'H'} for linear gap, {'H','E','F'} for affine. Header row 0 /
+    col 0 come from the stored sparse matrices; cells past adjrows/adjcols
+    are left at the spec's neutral value (never visited by tracebacks)."""
+    hrow_len = nw.tile_hrow_len
+    hcol_len = nw.tile_hcol_len
+    k = nw.tile_hdr_mat_cols * co.i_tile + co.j_tile
+    is_sw = nw.spec.kind == AlignKind.SW
+    affine = nw.spec.gap == GapKind.AFFINE
+    go = np.int32(nw.gapo_cost)
+    ge = np.int32(nw.gape_cost)
+    ninf = np.int32(NEG_INF_I32)
+
+    H = np.zeros((hcol_len, hrow_len), np.int32)
+    H[0, :] = nw.tileHrowMat[k]
+    H[:, 0] = nw.tileHcolMat[k]
+    out = {"H": H}
+    if affine:
+        F = np.full((hcol_len, hrow_len), ninf, np.int32)
+        E = np.full((hcol_len, hrow_len), ninf, np.int32)
+        F[0, :] = nw.tileFrowMat[k]
+        E[:, 0] = nw.tileEcolMat[k]
+        out["E"] = E
+        out["F"] = F
+
+    ibeg = co.i_tile * (hcol_len - 1)
+    jbeg = co.j_tile * (hrow_len - 1)
+    jj = jbeg + np.arange(1, hrow_len)
+    j_in = np.minimum(jj, nw.adjcols - 1)
+    xs = nw.seqX[j_in]
+    offs = (np.arange(hrow_len, dtype=np.int64) * int(ge)).astype(np.int32)
+
+    for i in range(1, hcol_len):
+        gi = ibeg + i
+        if gi >= nw.adjrows:
+            break
+        srow = nw.subst[nw.seqY[gi], xs]
+        hprev = H[i - 1]
+        if not affine:
+            cand = np.maximum(hprev[:-1] + srow, hprev[1:] + go).astype(
+                np.int32
+            )
+            if is_sw:
+                np.maximum(cand, np.int32(0), out=cand)
+                row = _row_chain_max(cand, int(H[i, 0]), nw.gapo_cost)
+                np.maximum(row, np.int32(0), out=row)
+            else:
+                row = _row_chain_max(cand, int(H[i, 0]), nw.gapo_cost)
+            H[i, 1:] = row[1:]
+        else:
+            frow = (np.maximum(F[i - 1], hprev + go) + ge).astype(np.int32)
+            frow[0] = F[i, 0]
+            F[i] = frow
+            v = np.maximum(hprev[:-1] + srow, frow[1:]).astype(np.int32)
+            if is_sw:
+                np.maximum(v, np.int32(0), out=v)
+            # E[i,j] = max(E[i,j-1], H[i,j-1]+go) + ge with stored seed
+            # E[i,0]: fold the seed into the chain-max over
+            # m[j] = max(E_seed - ge + ..., H[i,j]+go) - j*ge.
+            vfull = np.empty(hrow_len, np.int32)
+            vfull[0] = H[i, 0]
+            vfull[1:] = v
+            m = (vfull + go - offs).astype(np.int32)
+            # Stored E[i,0] seed: contributes E[i,0] + j*ge at column j.
+            m[0] = max(int(m[0]), int(E[i, 0]))
+            np.maximum.accumulate(m, out=m)
+            erow = np.empty(hrow_len, np.int32)
+            erow[0] = E[i, 0]
+            erow[1:] = (m[:-1] + offs[1:]).astype(np.int32)
+            E[i] = erow
+            hrow = np.maximum(v, erow[1:])
+            if is_sw:
+                np.maximum(hrow, np.int32(0), out=hrow)
+            H[i, 1:] = hrow
+    return out
+
+
+def _sparse_ref_parity(nw: AlgInput) -> bool:
     return nw.spec.kind == AlignKind.NW and nw.spec.gap == GapKind.LINEAR
 
 
+class _TileCache:
+    """Recompute-on-demand tile access for the general traceback (keeps the
+    last few tiles so edge-crossing steps don't recompute per read)."""
+
+    def __init__(self, nw: AlgInput, cap: int = 4):
+        self.nw = nw
+        self.cap = cap
+        self.tiles: Dict[Tuple[int, int], Dict[str, np.ndarray]] = {}
+
+    def at(self, co: TileCo) -> Dict[str, np.ndarray]:
+        key = (co.i_tile, co.j_tile)
+        mats = self.tiles.get(key)
+        if mats is None:
+            mats = align_tile_full(self.nw, co)
+            if len(self.tiles) >= self.cap:
+                self.tiles.pop(next(iter(self.tiles)))
+            self.tiles[key] = mats
+        return mats
+
+
 def trace_sparse(nw: AlgInput, res: AlgResult, calc_debug_trace: bool) -> Status:
-    """(ref: src/nwtrace2_sparse.cpp:102-257)"""
-    if not _sparse_supported(nw) or nw.tileHrowMat is None:
+    """(ref: src/nwtrace2_sparse.cpp:102-257 for NW_LG; oracle-defined
+    attainment walk for the affine/SW extensions)."""
+    if nw.tileHrowMat is None:
         return Status.errorInvalidValue
+    if not _sparse_ref_parity(nw):
+        return _trace_sparse_general(nw, res, calc_debug_trace)
 
     sw = res.sw_trace
     sw.start()
@@ -166,25 +278,179 @@ def trace_sparse(nw: AlgInput, res: AlgResult, calc_debug_trace: bool) -> Status
     return Status.success
 
 
+def _trace_sparse_general(
+    nw: AlgInput, res: AlgResult, calc_debug_trace: bool
+) -> Status:
+    """Attainment walk over recomputed tiles for affine / SW specs —
+    transcript-identical to the dense oracle walk (oracle._trace_attain)."""
+    sw = res.sw_trace
+    sw.start()
+    cache = _TileCache(nw)
+    sw.lap("trace.alloc")
+
+    is_sw = nw.spec.kind == AlignKind.SW
+    affine = nw.spec.gap == GapKind.AFFINE
+    gapo = nw.gapo_cost
+    gape = nw.gape_cost
+
+    if is_sw:
+        i, j = nw.best_i, nw.best_j
+    else:
+        i, j = nw.adjrows - 1, nw.adjcols - 1
+
+    th = nw.tile_hcol_len - 1
+    tw = nw.tile_hrow_len - 1
+
+    def val(name, ii, jj):
+        co2 = get_tile_and_elem_ij(nw, ii, jj)
+        # E is not stored along tile header ROWS (only F is), and F is not
+        # stored along tile header COLUMNS (only E is) — read those from
+        # the neighboring tile that computed them as its last row/column.
+        if name == "E" and co2.i_elem == 0 and co2.i_tile > 0:
+            co2.i_tile -= 1
+            co2.i_elem = th
+        if name == "F" and co2.j_elem == 0 and co2.j_tile > 0:
+            co2.j_tile -= 1
+            co2.j_elem = tw
+        m2 = cache.at(co2)
+        return int(m2[name][co2.i_elem, co2.j_elem])
+
+    edits = []
+    cells = []
+    state = "H"
+    while True:
+        if state == "H":
+            h_ij = val("H", i, j)
+            if calc_debug_trace:
+                cells.append(h_ij)
+            if is_sw and h_ij == 0:
+                break
+            if i == 0 and j == 0:
+                break
+            moved = False
+            if i > 0 and j > 0 and h_ij == val("H", i - 1, j - 1) + int(
+                nw.subst[nw.seqY[i], nw.seqX[j]]
+            ):
+                edits.append("=" if nw.seqX[j] == nw.seqY[i] else "X")
+                i -= 1
+                j -= 1
+                moved = True
+            elif affine and i > 0 and h_ij == val("F", i, j):
+                state = "F"
+                moved = True
+            elif affine and j > 0 and h_ij == val("E", i, j):
+                state = "E"
+                moved = True
+            elif not affine and i > 0 and h_ij == val("H", i - 1, j) + gapo:
+                edits.append("I")
+                i -= 1
+                moved = True
+            elif not affine and j > 0 and h_ij == val("H", i, j - 1) + gapo:
+                edits.append("D")
+                j -= 1
+                moved = True
+            if not moved:
+                if i > 0:
+                    edits.append("I")
+                    i -= 1
+                elif j > 0:
+                    edits.append("D")
+                    j -= 1
+                else:
+                    break
+        elif state == "F":
+            if calc_debug_trace:
+                cells.append(val("H", i, j))
+            edits.append("I")
+            closes = val("F", i, j) == val("H", i - 1, j) + gapo + gape
+            i -= 1
+            if closes:
+                state = "H"
+        else:  # state == "E"
+            if calc_debug_trace:
+                cells.append(val("H", i, j))
+            edits.append("D")
+            closes = val("E", i, j) == val("H", i, j - 1) + gapo + gape
+            j -= 1
+            if closes:
+                state = "H"
+
+    edits.reverse()
+    cells.reverse()
+    res.edit_trace = rle_from_edits(edits)
+    sw.lap("trace.calc")
+
+    if calc_debug_trace:
+        nw.trace = cells
+    h = djb2_str(res.edit_trace, djb2_init())
+    if calc_debug_trace:
+        h = djb2_ints(cells, h)
+    res.trace_hash = h
+    return Status.success
+
+
 def _recompute_rows(nw: AlgInput):
-    """Yield every row of the full logical score matrix, recomputed with two
-    rolling rows (observable behavior of ref: src/nwtrace2_sparse.cpp:263-340)."""
-    g = np.int32(nw.gapo_cost)
+    """Yield every row of the full logical score matrix, recomputed with
+    rolling rows (observable behavior of ref: src/nwtrace2_sparse.cpp:263-340
+    for NW_LG; same construction for the extension specs)."""
+    is_sw = nw.spec.kind == AlignKind.SW
+    affine = nw.spec.gap == GapKind.AFFINE
+    go = np.int32(nw.gapo_cost)
+    ge = np.int32(nw.gape_cost)
+    ninf = np.int32(NEG_INF_I32)
     adjcols = nw.adjcols
     xs = nw.seqX[1:]
-    row = (np.arange(adjcols, dtype=np.int32) * g).astype(np.int32)
+    offs_g = (np.arange(adjcols, dtype=np.int64) * int(go)).astype(np.int32)
+    offs_e = (np.arange(adjcols, dtype=np.int64) * int(ge)).astype(np.int32)
+
+    if is_sw:
+        row = np.zeros(adjcols, np.int32)
+    elif affine:
+        row = (go + offs_e).astype(np.int32)
+        row[0] = 0
+    else:
+        row = offs_g.copy()
     yield row
     prev = row
+    fprev = np.full(adjcols, ninf, np.int32)
     for i in range(1, nw.adjrows):
         srow = nw.subst[nw.seqY[i], xs]
-        cand = np.maximum(prev[:-1] + srow, prev[1:] + g).astype(np.int32)
-        prev = _row_chain_max(cand, int(np.int32(i) * g), nw.gapo_cost)
+        if not affine:
+            cand = np.maximum(prev[:-1] + srow, prev[1:] + go).astype(np.int32)
+            if is_sw:
+                np.maximum(cand, np.int32(0), out=cand)
+                prev = _row_chain_max(cand, 0, nw.gapo_cost)
+                np.maximum(prev, np.int32(0), out=prev)
+            else:
+                prev = _row_chain_max(
+                    cand, int(np.int32(i) * go), nw.gapo_cost
+                )
+        else:
+            frow = (np.maximum(fprev, prev + go) + ge).astype(np.int32)
+            frow[0] = ninf
+            v = np.maximum(prev[:-1] + srow, frow[1:]).astype(np.int32)
+            if is_sw:
+                h0 = np.int32(0)
+                np.maximum(v, np.int32(0), out=v)
+            else:
+                h0 = np.int32(int(go) + i * int(ge))
+            vfull = np.empty(adjcols, np.int32)
+            vfull[0] = 0 if is_sw else h0
+            vfull[1:] = v
+            m = (vfull + go - offs_e).astype(np.int32)
+            np.maximum.accumulate(m, out=m)
+            erow1 = (m[:-1] + offs_e[1:]).astype(np.int32)
+            nxt = np.empty(adjcols, np.int32)
+            nxt[0] = 0 if is_sw else h0
+            nxt[1:] = np.maximum(v, erow1)
+            if is_sw:
+                np.maximum(nxt, np.int32(0), out=nxt)
+            fprev = frow
+            prev = nxt
         yield prev
 
 
 def hash_sparse(nw: AlgInput, res: AlgResult) -> Status:
-    if not _sparse_supported(nw):
-        return Status.errorInvalidValue
     sw = res.sw_hash
     sw.start()
     h = djb2_init()
@@ -197,8 +463,6 @@ def hash_sparse(nw: AlgInput, res: AlgResult) -> Status:
 
 def print_score_sparse(os: TextIO, nw: AlgInput, res: AlgResult) -> Status:
     """(ref: src/nwtrace2_sparse.cpp:346-419)"""
-    if not _sparse_supported(nw):
-        return Status.errorInvalidValue
     for row in _recompute_rows(nw):
         os.write("".join(f"{int(v):4d}," for v in row))
         os.write("\n")
