@@ -1,4 +1,5 @@
-"""Headline benchmark: NW linear-gap GCUPS on the flagship TPU kernel.
+"""Headline benchmark: NW affine-gap GCUPS on the flagship TPU kernel
+(BASELINE.json metric: "GCUPS/chip (DP cell updates/s) on NW affine-gap").
 
 Problem: the reference's release workload — one len23728 x len23728 pair
 (resrc/pair_release.txt, ref: README.md:117-123) with blosum62 / gapoCost
@@ -37,8 +38,12 @@ sys.path.insert(0, REPO)
 PAIR_N = 23728
 ORACLE_N = 4096
 M_ITERS = 8
-# Tuned on v5e (2026-08): R=TW=2048, W=512, K=6 chains -> ~56 GCUPS.
-R, W, TW, K = 2048, 512, 2048, 6
+# Tuned on v5e (2026-08): R=TW=2048, W=512; NW_AG runs K=4 chains
+# (38.7 GCUPS; NW_LG reaches 55.9 at K=6 but the BASELINE.json headline
+# metric is "GCUPS/chip on NW affine-gap").
+R, W, TW, K = 2048, 512, 2048, 4
+KIND, GAP = "nw", "affine"
+GAPO, GAPE = -11, -2
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -62,7 +67,7 @@ def _bench_tpu_v2(subst, seq) -> float:
     """Device seconds per fill of the PAIR_N x PAIR_N matrix."""
     import jax
     import jax.numpy as jnp
-    from gpuseqalign_tpu.ops.pallas_wavefront2 import pallas_mlsp_nw_lg_v2
+    from gpuseqalign_tpu.ops.pallas_wavefront2 import pallas_mlsp_v2
 
     n = len(seq) - 1
     B = _pad_to(-(-n // R), K)
@@ -80,21 +85,23 @@ def _bench_tpu_v2(subst, seq) -> float:
     def loop(subst, y, x, gapo, *, m):
         def body(carry, _):
             g = gapo + jnp.int32(0) * carry
-            hrow, _hcol = pallas_mlsp_nw_lg_v2(
-                subst, y, x, g, R=R, W=W, TW=TW, K=K
+            out = pallas_mlsp_v2(
+                subst, y, x, g, jnp.int32(GAPE),
+                jnp.int32(n + 1), jnp.int32(n + 1),
+                R=R, W=W, TW=TW, K=K, kind=KIND, gap=GAP,
             )
-            return hrow[0, 0], None
+            return out["hrow"][0, 0], None
 
         c, _ = jax.lax.scan(body, jnp.int32(0), None, length=m)
         return c
 
     def t_of(m):
-        out = loop(subst_d, y_d, x_d, jnp.int32(-11), m=m)
+        out = loop(subst_d, y_d, x_d, jnp.int32(GAPO), m=m)
         _ = np.asarray(jax.device_get(out))  # warm + force
         ts = []
         for _i in range(3):
             t0 = time.perf_counter()
-            out = loop(subst_d, y_d, x_d, jnp.int32(-11), m=m)
+            out = loop(subst_d, y_d, x_d, jnp.int32(GAPO), m=m)
             _ = np.asarray(jax.device_get(out))
             ts.append(time.perf_counter() - t0)
         return float(np.min(ts))
@@ -113,7 +120,10 @@ def _bench_fallback(subst, seq) -> float:
     nw.seqY = seq
     nw.seqX = seq
     nw.adjrows = nw.adjcols = len(seq)
-    nw.gapo_cost = -11
+    nw.gapo_cost, nw.gape_cost = GAPO, GAPE
+    nw.spec = __import__(
+        "gpuseqalign_tpu.core.types", fromlist=["AlignSpec"]
+    ).AlignSpec.from_name(f"{KIND}_{'ag' if GAP == 'affine' else 'lg'}")
     params = AlgParams({"tileBy": [2048], "tileBx": [2048]})
     ts = []
     for _ in range(3):
@@ -124,6 +134,12 @@ def _bench_fallback(subst, seq) -> float:
             raise RuntimeError(f"align failed: {stat!r}")
         ts.append(res.sw_align.get_or_default("align.calc") / 1e3)
     return float(np.median(ts))
+
+
+def nw_spec():
+    from gpuseqalign_tpu.core.types import AlignSpec
+
+    return AlignSpec.from_name(f"{KIND}_{'ag' if GAP == 'affine' else 'lg'}")
 
 
 def main() -> int:
@@ -146,7 +162,8 @@ def main() -> int:
     nwo.seqY = y[: 1 + ORACLE_N].copy()
     nwo.seqX = y[: 1 + ORACLE_N].copy()
     nwo.adjrows = nwo.adjcols = 1 + ORACLE_N
-    nwo.gapo_cost = -11
+    nwo.gapo_cost, nwo.gape_cost = GAPO, GAPE
+    nwo.spec = nw_spec()
     reso = AlgResult()
     t0 = time.perf_counter()
     stat = align_cpu1_st_row(AlgParams({}), nwo, reso)
@@ -155,10 +172,11 @@ def main() -> int:
         raise RuntimeError(f"oracle failed: {stat!r}")
     oracle_gcups = ORACLE_N * ORACLE_N / t_or / 1e9
 
+    name = f"{KIND}_{'ag' if GAP == 'affine' else 'lg'}"
     metric = (
-        "GCUPS nw_lg pallas_mlsp_v2 23728x23728 (v5e chip)"
+        f"GCUPS {name} pallas_mlsp_v2 23728x23728 (v5e chip)"
         if on_tpu
-        else "GCUPS nw_lg xla_mlsp 23728x23728 (cpu fallback)"
+        else f"GCUPS {name} xla_mlsp 23728x23728 (cpu fallback)"
     )
     print(json.dumps({
         "metric": metric,

@@ -178,7 +178,7 @@ def align_pallas_mlsp(pr: AlgParams, nw: AlgInput, res: AlgResult) -> Status:
     if spec.gap == GapKind.AFFINE and (nw.gapo_cost > 0 or nw.gape_cost > 0):
         return Status.errorInvalidValue  # vectorized Gotoh needs costs <= 0
 
-    if _on_tpu() and is_nw_lg:
+    if _on_tpu():
         from . import pallas_wavefront as pw
         from . import pallas_wavefront2 as pw2
 
@@ -186,7 +186,7 @@ def align_pallas_mlsp(pr: AlgParams, nw: AlgInput, res: AlgResult) -> Status:
             return pw2.align_mlsp_v2(
                 pr, nw, res, tile_h, tile_w, trows, tcols
             )
-        if pw.mlsp_params_ok(tile_h, tile_w):
+        if is_nw_lg and pw.mlsp_params_ok(tile_h, tile_w):
             return pw.align_mlsp(pr, nw, res, tile_h, tile_w, trows, tcols)
 
     sw = res.sw_align

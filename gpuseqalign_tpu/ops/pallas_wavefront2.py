@@ -27,9 +27,13 @@ Also replaces v1's lane-0 carry fix (a (SUB,1) column extract, ~75 cycles)
 with a two-roll trick: roll(roll(v, 1, lanes), 1, sublanes) has exactly the
 wanted v[s-1, 127] at every lane-0 position.
 
-Sparse (mlsp) NW linear-gap only — the flagship path (the reference's
-gpu7-9 surface, ref: src/nwalign_gpu7_mlsp_diagdiag.cu:247-285). Dense and
-other specs route through v1 / the XLA kernels.
+Covers all four specs. NW linear-gap is the reference's mlsp surface
+(ref: src/nwalign_gpu7_mlsp_diagdiag.cu:247-285); affine (Gotoh) adds E/F
+carry diagonals, an F header-row / E header-col sparse stream (the tile
+dependencies under affine gaps), and a second predecessor-row buffer; SW
+adds the zero clamp and per-lane running-argmax with first-occurrence
+step capture. Measured on v5e at 23728^2 (R=TW=2048): nw_lg 55.9 GCUPS
+(K=6), sw_lg 50.0 (K=6), nw_ag 38.7 (K=4), sw_ag 33.6 (K=3).
 """
 
 from __future__ import annotations
@@ -51,47 +55,130 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
-                 TW: int, OFF: int, prev_len: int, B: int):
+                 TW: int, OFF: int, prev_len: int, B: int,
+                 kind: str = "nw", gap: str = "linear",
+                 batch: bool = False, capture_cost: bool = False):
     ninf = NEG_INF_I32
     n_win = W // 128
     q = TW // W  # hcol out-blocks advance every q chunks
     offw = OFF // W
+    is_sw = kind == "sw"
+    affine = gap == "affine"
 
     def kernel(*refs):
         g_ref = refs[0]
-        planes_refs = refs[1: 1 + K]
-        xw_refs = refs[1 + K: 1 + 2 * K]
-        hrow_refs = refs[1 + 2 * K: 1 + 3 * K]
-        hcol_refs = refs[1 + 3 * K: 1 + 4 * K]
-        prevb = refs[1 + 4 * K: 1 + 5 * K]
-        (v1s, shps, xds, accs, prows) = refs[1 + 5 * K:]
+        pos = 1
+        planes_refs = refs[pos: pos + K]; pos += K
+        xw_refs = refs[pos: pos + K]; pos += K
+        hrow_refs = refs[pos: pos + K]; pos += K
+        hcol_refs = refs[pos: pos + K]; pos += K
+        if affine:
+            frow_refs = refs[pos: pos + K]; pos += K
+            ecol_refs = refs[pos: pos + K]; pos += K
+        if is_sw:
+            bv_refs = refs[pos: pos + K]; pos += K
+            bc_refs = refs[pos: pos + K]; pos += K
+        if capture_cost:
+            cost_refs = refs[pos: pos + K]; pos += K
+        prevb = refs[pos: pos + K]; pos += K
+        if affine:
+            prevf = refs[pos: pos + K]; pos += K
+        v1s = refs[pos]; pos += 1
+        shps = refs[pos]; pos += 1
+        xds = refs[pos]; pos += 1
+        accs = refs[pos]; pos += 1
+        prows = refs[pos]; pos += 1
+        if affine:
+            e1s = refs[pos]; pos += 1
+            f1s = refs[pos]; pos += 1
+            accEs = refs[pos]; pos += 1
+            prowFs = refs[pos]; pos += 1
+        if is_sw:
+            bvs = refs[pos]; pos += 1
+            bcs = refs[pos]; pos += 1
+        if capture_cost:
+            costs_s = refs[pos]; pos += 1
 
         bb = pl.program_id(0)
         ch = pl.program_id(1)
         g = g_ref[0, 0]
+        ge = g_ref[0, 1]
+        adjrs = [g_ref[0, 2 + k] for k in range(K)]
+        adjcs = [g_ref[0, 2 + K + k] for k in range(K)]
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
         l_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
         l_row = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         i2d = s_iota * 128 + l_iota
-        hdrs = [(1 + (bb * K + k) * R + i2d) * g for k in range(K)]
+
+        # Per-chain header-value vectors (hoisted out of the hot loop).
+        # hdrH = H[i, 0]; dhdr = H[i-1, 0]; ehdr = E at u == 1.
+        hdrHs, dhdrs, ehdrs = [], [], []
+        for k in range(K):
+            blk0 = bb if batch else bb * K + k
+            io = 1 + blk0 * R + i2d
+            if is_sw:
+                hdrH = jnp.zeros((SUB, 128), jnp.int32)
+                dhdr = hdrH
+            elif affine:
+                hdrH = g + io * ge
+                dhdr = jnp.where(io == 1, 0, g + (io - 1) * ge)
+            else:
+                hdrH = io * g
+                dhdr = hdrH - g
+            hdrHs.append(hdrH)
+            dhdrs.append(dhdr)
+            if affine:
+                ehdrs.append(hdrH + g + ge)
 
         @pl.when(ch == 0)
         def _init():
             @pl.when(bb == 0)
             def _():
-                # Global header row H[0, j] = j*g into chain K-1's buffer
-                # (chain 0 of pass 0 reads it as its predecessor row).
+                # Global header row: in echelon mode only chain K-1's
+                # buffer (chain 0 of pass 0 reads it as its predecessor);
+                # in batch mode every chain is its own pair and starts
+                # from the header row.
                 jidx = jax.lax.broadcasted_iota(jnp.int32, (1, prev_len), 1)
-                prevb[K - 1][0:1, :] = jidx * g
+                hdr_targets = range(K) if batch else (K - 1,)
+                for kk in hdr_targets:
+                    if is_sw:
+                        prevb[kk][0:1, :] = jnp.zeros(
+                            (1, prev_len), jnp.int32
+                        )
+                    elif affine:
+                        prevb[kk][0:1, :] = jnp.where(
+                            jidx == 0, 0, g + jidx * ge
+                        )
+                    else:
+                        prevb[kk][0:1, :] = jidx * g
+                    if affine:
+                        prevf[kk][0:1, :] = jnp.full(
+                            (1, prev_len), ninf, jnp.int32
+                        )
             for k in range(K):
                 v1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
                 shps[k] = jnp.full((SUB, 128), ninf, jnp.int32)
                 xds[k] = jnp.zeros((SUB, 128), jnp.int32)
                 accs[k] = jnp.full((SUB, 128), ninf, jnp.int32)
                 # prow window accumulator; j == 0 header element seeded.
-                prows[k] = jnp.where(
-                    l_row == 0, ((bb * K + k + 1) * R) * g, jnp.int32(ninf)
-                )
+                blk0 = bb if batch else bb * K + k
+                if is_sw:
+                    seed = jnp.int32(0)
+                elif affine:
+                    seed = g + ((blk0 + 1) * R) * ge
+                else:
+                    seed = ((blk0 + 1) * R) * g
+                prows[k] = jnp.where(l_row == 0, seed, jnp.int32(ninf))
+                if affine:
+                    e1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
+                    f1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
+                    accEs[k] = jnp.full((SUB, 128), ninf, jnp.int32)
+                    prowFs[k] = jnp.full((1, 128), ninf, jnp.int32)
+                if is_sw:
+                    bvs[k] = jnp.zeros((SUB, 128), jnp.int32)
+                    bcs[k] = jnp.zeros((SUB, 128), jnp.int32)
+                if capture_cost:
+                    costs_s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
 
         def shift2(v, fill):
             # out[i] = v[i-1] (linear, not circular); out[0] = fill's lane 0.
@@ -100,9 +187,18 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
             out = jnp.where(l_iota == 0, b, a)
             return jnp.where(i2d == 0, fill, out)
 
+        def bot_capture(mat, prow_acc, sel_p, gate):
+            # Cheap bottom-row capture: last sublane + static lane rotate
+            # (a (1,1) lane extract costs ~75 cycles).
+            bot = mat[SUB - 1:SUB, :]
+            last = pltpu.roll(bot, (sel_p + 1) % 128, axis=1)
+            return jnp.where((l_row == sel_p) & gate, last, prow_acc)
+
         # Plane words resident for the whole program (8 x (SUB,128) per
         # chain): the per-lane substitution row, biased bytes.
         planes = [[planes_refs[k][0, p] for p in range(8)] for k in range(K)]
+        NCAR = (5 + (4 if affine else 0) + (2 if is_sw else 0)
+                + (1 if capture_cost else 0))
 
         def window_body(w, carry):
             vs = list(carry)
@@ -122,21 +218,33 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                 cwk = pl.multiple_of(
                     jnp.minimum(cwk, prev_len - 256), 128
                 )
-                kp = K - 1 if k == 0 else k - 1
-                pws.append((
+                kp = k if batch else (K - 1 if k == 0 else k - 1)
+                ent = [
                     prevb[kp][0:1, pl.ds(cwk, 128)],
                     prevb[kp][0:1,
                               pl.ds(pl.multiple_of(cwk + 128, 128), 128)],
-                ))
+                ]
+                if affine:
+                    ent += [
+                        prevf[kp][0:1, pl.ds(cwk, 128)],
+                        prevf[kp][0:1,
+                                  pl.ds(pl.multiple_of(cwk + 128, 128), 128)],
+                    ]
+                pws.append(ent)
 
             for tt in range(128):
                 for k in range(K):
-                    v1, sh1p, xd, acc, prow = (
-                        vs[5 * k], vs[5 * k + 1], vs[5 * k + 2],
-                        vs[5 * k + 3], vs[5 * k + 4],
-                    )
+                    st = vs[NCAR * k: NCAR * (k + 1)]
+                    v1, sh1p, xd, acc, prow = st[:5]
+                    if affine:
+                        e1, f1, accE, prowF = st[5:9]
+                    nbase = 5 + (4 if affine else 0)
+                    if is_sw:
+                        bv, bc = st[nbase], st[nbase + 1]
+                    if capture_cost:
+                        costv = st[NCAR - 1]
                     c = clocs[k] + tt
-                    pw, pw2 = pws[k]
+                    pw, pw2 = pws[k][0], pws[k][1]
 
                     # --- substitution: skewed X letter + packed lookup ---
                     fillx = (
@@ -162,28 +270,57 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         pw2 if tt == 127
                         else pltpu.roll(pw, 127 - tt, axis=1)
                     )
-                    sh1 = shift2(v1, fill1)  # lane0 <- prev[c+1]
-                    # sh1p (last step's sh1) has lane0 == prev[c] — exactly
+                    sh1 = shift2(v1, fill1)  # lane0 <- prevH[c+1]
+                    # sh1p (last step's sh1) has lane0 == prevH[c] — exactly
                     # the diagonal operand's header fill.
-                    diag = jnp.where(i2d == c, hdrs[k] - g, sh1p)
-                    left = jnp.where(i2d == c, hdrs[k], v1)
-                    cell = jnp.maximum(
-                        diag + s, jnp.maximum(sh1, left) + g
-                    )
+                    diag = jnp.where(i2d == c, dhdrs[k], sh1p)
                     valid = (i2d <= c) & (i2d > c - cols_p)
+                    if not affine:
+                        left = jnp.where(i2d == c, hdrHs[k], v1)
+                        cell = jnp.maximum(
+                            diag + s, jnp.maximum(sh1, left) + g
+                        )
+                    else:
+                        e_new = jnp.maximum(e1, v1 + g) + ge
+                        e_new = jnp.where(i2d == c, ehdrs[k], e_new)
+                        fillF = (
+                            pws[k][3] if tt == 127
+                            else pltpu.roll(pws[k][2], 127 - tt, axis=1)
+                        )
+                        shF = shift2(f1, fillF)  # lane0 <- prevF[c+1]
+                        f_new = jnp.maximum(shF, sh1 + g) + ge
+                        cell = jnp.maximum(
+                            diag + s, jnp.maximum(e_new, f_new)
+                        )
+                        e_new = jnp.where(valid, e_new, ninf)
+                        f_new = jnp.where(valid, f_new, ninf)
+                    if is_sw:
+                        cell = jnp.maximum(cell, 0)
                     cell = jnp.where(valid, cell, ninf)
 
-                    # --- output-row capture (H[(b+1)R, j]) ---
-                    # The wanted scalar lives at lane (SUB-1, 127). A (1,1)
-                    # lane extract costs ~75 cycles on TPU; instead take the
-                    # last sublane (cheap) and statically rotate its lane
-                    # 127 onto the accumulator position sel_p.
-                    bot = cell[SUB - 1:SUB, :]
+                    blk = bb if batch else bb * K + k
+                    if is_sw:
+                        # Per-lane running max + first-occurrence step; pad
+                        # rows/cols excluded (pad letters score like real
+                        # ones under the zero clamp).
+                        iok = 1 + blk * R + i2d <= adjrs[k] - 1
+                        uok = i2d >= c - adjcs[k] + 2
+                        upd = (cell > bv) & iok & uok
+                        bv = jnp.where(upd, cell, bv)
+                        bc = jnp.where(upd, c, bc)
+                    if capture_cost:
+                        # The true bottom-right cell (adjr-1, adjc-1) lives
+                        # at lane adjr-2-blk*R, step lane + adjc - 2.
+                        lt = adjrs[k] - 2 - blk * R
+                        hit = (i2d == lt) & (c == lt + adjcs[k] - 2)
+                        costv = jnp.where(hit, cell, costv)
+
+                    # --- output-row capture (H[(b+1)R, j], F likewise) ---
                     sel_p = (tt + 2) % 128
-                    last = pltpu.roll(bot, (sel_p + 1) % 128, axis=1)
-                    prow = jnp.where(
-                        (l_row == sel_p) & (c >= R - 1), last, prow
-                    )
+                    gate = c >= R - 1
+                    prow = bot_capture(cell, prow, sel_p, gate)
+                    if affine:
+                        prowF = bot_capture(f_new, prowF, sel_p, gate)
                     if sel_p == 127:
                         cwk = jnp.maximum(ch * W + w * 128 - k * OFF, 0)
 
@@ -191,9 +328,12 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         # junk AND would store out of bounds (real-TPU OOB
                         # stores wrap into the next scratch buffer).
                         @pl.when((cwk >= R) & (cwk - R <= cols_p))
-                        def _(prow=prow, cwk=cwk, k=k):
+                        def _(prow=prow, prowF=(prowF if affine else None),
+                              cwk=cwk, k=k):
                             jb = pl.multiple_of(cwk - R, 128)
                             prevb[k][0:1, pl.ds(jb, 128)] = prow
+                            if affine:
+                                prevf[k][0:1, pl.ds(jb, 128)] = prowF
 
                     # --- tile-header-column capture (flush BEFORE update,
                     # v1 semantics). The flush step c % TW == R-1 can only
@@ -201,31 +341,67 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     # the predicated store is hoisted out of the hot steps.
                     if tt == 127:
                         @pl.when(jnp.mod(clocs[k], TW) == (R - 128) % TW)
-                        def _(acc=acc, k=k):
+                        def _(acc=acc, accE=(accE if affine else None), k=k):
                             hcol_refs[k][0, 0] = acc
+                            if affine:
+                                ecol_refs[k][0, 0] = accE
 
                     sel = selbs[k] + tt
                     sel = sel - jnp.where(sel >= TW, TW, 0)
                     acc = jnp.where(i2d == sel, cell, acc)
+                    if affine:
+                        accE = jnp.where(i2d == sel, e_new, accE)
 
-                    vs[5 * k: 5 * k + 5] = [cell, sh1, xd, acc, prow]
+                    st = [cell, sh1, xd, acc, prow]
+                    if affine:
+                        st += [e_new, f_new, accE, prowF]
+                    if is_sw:
+                        st += [bv, bc]
+                    if capture_cost:
+                        st += [costv]
+                    vs[NCAR * k: NCAR * (k + 1)] = st
             return tuple(vs)
 
         init = []
         for k in range(K):
             init += [v1s[k], shps[k], xds[k], accs[k], prows[k]]
+            if affine:
+                init += [e1s[k], f1s[k], accEs[k], prowFs[k]]
+            if is_sw:
+                init += [bvs[k], bcs[k]]
+            if capture_cost:
+                init += [costs_s[k]]
         out = jax.lax.fori_loop(0, n_win, window_body, tuple(init))
+        nbase = 5 + (4 if affine else 0)
         for k in range(K):
-            v1s[k] = out[5 * k]
-            shps[k] = out[5 * k + 1]
-            xds[k] = out[5 * k + 2]
-            accs[k] = out[5 * k + 3]
-            prows[k] = out[5 * k + 4]
+            st = out[NCAR * k: NCAR * (k + 1)]
+            v1s[k] = st[0]
+            shps[k] = st[1]
+            xds[k] = st[2]
+            accs[k] = st[3]
+            prows[k] = st[4]
+            if affine:
+                e1s[k] = st[5]
+                f1s[k] = st[6]
+                accEs[k] = st[7]
+                prowFs[k] = st[8]
+            if is_sw:
+                bvs[k] = st[nbase]
+                bcs[k] = st[nbase + 1]
+            if capture_cost:
+                costs_s[k] = st[NCAR - 1]
 
         @pl.when(ch == CH - 1)
         def _fin():
             for k in range(K):
                 hrow_refs[k][0, 0, :] = prevb[k][0, :]
+                if affine:
+                    frow_refs[k][0, 0, :] = prevf[k][0, :]
+                if is_sw:
+                    bv_refs[k][0] = bvs[k]
+                    bc_refs[k][0] = bcs[k]
+                if capture_cost:
+                    cost_refs[k][0] = costs_s[k]
 
     return kernel, q, offw
 
@@ -246,23 +422,30 @@ def _pack_planes(subst, Y, B, R):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("R", "W", "TW", "K", "interpret")
+    jax.jit,
+    static_argnames=("R", "W", "TW", "K", "kind", "gap", "interpret"),
 )
-def pallas_mlsp_nw_lg_v2(subst, Y, X, gapo, *, R: int, W: int, TW: int,
-                         K: int, interpret: bool = False):
-    """Sparse fill v2. Same contract as v1's pallas_mlsp_nw_lg:
+def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
+                   TW: int, K: int, kind: str = "nw", gap: str = "linear",
+                   interpret: bool = False):
+    """Sparse fill v2 for any spec. Returns a dict:
 
     hrow: (B, prev_len)         row (b+1)*R of H (indexed by global j)
     hcol: (B, CT, SUB, 128)     hcol[b, jt] = H[b*R+1 .. (b+1)*R, jt*TW]
+    frow/ecol (affine):         F rows / E cols, same shapes
+    bv/bc (SW):                 (B, SUB, 128) per-lane best value and the
+                                step c of its first occurrence
 
     Requires rows_p % (K*R) == 0, cols_p % TW == 0, TW % W == 0, TW >= R,
-    W % 128 == 0.
+    W % 128 == 0; affine requires gapo <= 0, gape <= 0.
     """
     rows_p = Y.shape[0] - 1
     cols_p = X.shape[0] - 1
     SUB = R // 128
     B = rows_p // R
     BB = B // K
+    affine = gap == "affine"
+    is_sw = kind == "sw"
     # Echelon offset: chain k reads 256-wide predecessor-row windows that
     # the predecessor flushes R+128 steps after computing them, so the
     # chains must be at least R+256 steps apart; rounded up to a multiple
@@ -283,59 +466,79 @@ def pallas_mlsp_nw_lg_v2(subst, Y, X, gapo, *, R: int, W: int, TW: int,
 
     kernel, q, _ = _make_kernel(
         K=K, SUB=SUB, W=W, CH=CH, cols_p=cols_p, R=R, TW=TW, OFF=OFF,
-        prev_len=prev_len, B=B,
+        prev_len=prev_len, B=B, kind=kind, gap=gap,
     )
-    gmat = jnp.full((1, 1), gapo, jnp.int32)
+    gmat = jnp.stack(
+        [jnp.int32(gapo), jnp.int32(gape)]
+        + [jnp.asarray(adjr, jnp.int32)] * K
+        + [jnp.asarray(adjc, jnp.int32)] * K
+    ).reshape(1, 2 + 2 * K)
 
-    in_specs = [pl.BlockSpec((1, 1), lambda bb, ch: (0, 0),
+    def kmap(fn):
+        return [
+            pl.BlockSpec(
+                fn.shape, functools.partial(fn.index, k=k),
+                memory_space=fn.space,
+            )
+            for k in range(K)
+        ]
+
+    class _S:  # tiny spec helper
+        def __init__(self, shape, index, space=pltpu.VMEM):
+            self.shape, self.index, self.space = shape, index, space
+
+    planes_spec = _S((1, 8, SUB, 128), lambda bb, ch, k=0: (bb * K + k, 0, 0, 0))
+    xw_spec = _S(
+        (1, W // 128, 128),
+        lambda bb, ch, k=0: (jnp.clip(ch - k * offw, 0, NSpad // W - 1), 0, 0),
+    )
+    row_spec = _S((1, 1, prev_len), lambda bb, ch, k=0: (bb * K + k, 0, 0))
+    col_spec = _S(
+        (1, 1, SUB, 128),
+        lambda bb, ch, k=0: (
+            bb * K + k, jnp.clip((ch - k * offw) // q, 0, CT - 1), 0, 0,
+        ),
+    )
+    blk_spec = _S((1, SUB, 128), lambda bb, ch, k=0: (bb * K + k, 0, 0))
+
+    in_specs = [pl.BlockSpec((1, 2 + 2 * K), lambda bb, ch: (0, 0),
                              memory_space=pltpu.SMEM)]
-    for k in range(K):
-        in_specs.append(pl.BlockSpec(
-            (1, 8, SUB, 128),
-            functools.partial(
-                lambda bb, ch, k=0: (bb * K + k, 0, 0, 0), k=k
-            ),
-            memory_space=pltpu.VMEM,
-        ))
-    for k in range(K):
-        in_specs.append(pl.BlockSpec(
-            (1, W // 128, 128),
-            functools.partial(
-                lambda bb, ch, k=0: (
-                    jnp.clip(ch - k * offw, 0, NSpad // W - 1), 0, 0
-                ),
-                k=k,
-            ),
-            memory_space=pltpu.VMEM,
-        ))
-    out_specs = []
-    out_shapes = []
-    for k in range(K):
-        out_specs.append(pl.BlockSpec(
-            (1, 1, prev_len),
-            functools.partial(
-                lambda bb, ch, k=0: (bb * K + k, 0, 0), k=k
-            ),
-            memory_space=pltpu.VMEM,
-        ))
-        out_shapes.append(
-            jax.ShapeDtypeStruct((B, 1, prev_len), jnp.int32)
-        )
-    for k in range(K):
-        out_specs.append(pl.BlockSpec(
-            (1, 1, SUB, 128),
-            functools.partial(
-                lambda bb, ch, k=0: (
-                    bb * K + k, jnp.clip((ch - k * offw) // q, 0, CT - 1),
-                    0, 0,
-                ),
-                k=k,
-            ),
-            memory_space=pltpu.VMEM,
-        ))
-        out_shapes.append(
-            jax.ShapeDtypeStruct((B, CT, SUB, 128), jnp.int32)
-        )
+    in_specs += kmap(planes_spec) + kmap(xw_spec)
+
+    row_shape = jax.ShapeDtypeStruct((B, 1, prev_len), jnp.int32)
+    col_shape = jax.ShapeDtypeStruct((B, CT, SUB, 128), jnp.int32)
+    blk_shape = jax.ShapeDtypeStruct((B, SUB, 128), jnp.int32)
+    out_specs = kmap(row_spec) + kmap(col_spec)
+    out_shapes = [row_shape] * K + [col_shape] * K
+    if affine:
+        out_specs += kmap(row_spec) + kmap(col_spec)
+        out_shapes += [row_shape] * K + [col_shape] * K
+    if is_sw:
+        out_specs += kmap(blk_spec) + kmap(blk_spec)
+        out_shapes += [blk_shape] * K + [blk_shape] * K
+
+    scratch = [pltpu.VMEM((1, prev_len), jnp.int32) for _ in range(K)]
+    if affine:
+        scratch += [pltpu.VMEM((1, prev_len), jnp.int32) for _ in range(K)]
+    scratch += [
+        pltpu.VMEM((K, SUB, 128), jnp.int32),  # v1s
+        pltpu.VMEM((K, SUB, 128), jnp.int32),  # shps
+        pltpu.VMEM((K, SUB, 128), jnp.int32),  # xds
+        pltpu.VMEM((K, SUB, 128), jnp.int32),  # accs
+        pltpu.VMEM((K, 1, 128), jnp.int32),    # prows
+    ]
+    if affine:
+        scratch += [
+            pltpu.VMEM((K, SUB, 128), jnp.int32),  # e1s
+            pltpu.VMEM((K, SUB, 128), jnp.int32),  # f1s
+            pltpu.VMEM((K, SUB, 128), jnp.int32),  # accEs
+            pltpu.VMEM((K, 1, 128), jnp.int32),    # prowFs
+        ]
+    if is_sw:
+        scratch += [
+            pltpu.VMEM((K, SUB, 128), jnp.int32),  # bvs
+            pltpu.VMEM((K, SUB, 128), jnp.int32),  # bcs
+        ]
 
     outs = pl.pallas_call(
         kernel,
@@ -343,28 +546,207 @@ def pallas_mlsp_nw_lg_v2(subst, Y, X, gapo, *, R: int, W: int, TW: int,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
-        scratch_shapes=(
-            [pltpu.VMEM((1, prev_len), jnp.int32) for _ in range(K)]
-            + [
-                pltpu.VMEM((K, SUB, 128), jnp.int32),
-                pltpu.VMEM((K, SUB, 128), jnp.int32),
-                pltpu.VMEM((K, SUB, 128), jnp.int32),
-                pltpu.VMEM((K, SUB, 128), jnp.int32),
-                pltpu.VMEM((K, 1, 128), jnp.int32),
-            ]
-        ),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(gmat, *([planes] * K), *([xwin] * K))
 
     # Chain k wrote only rows bb*K + k of its own output array; interleave.
-    hrow = jnp.stack(
-        [outs[k].reshape(BB, K, prev_len)[:, k] for k in range(K)], axis=1
-    ).reshape(B, prev_len)
-    hcol = jnp.stack(
-        [outs[K + k].reshape(BB, K, CT, SUB, 128)[:, k] for k in range(K)],
-        axis=1,
-    ).reshape(B, CT, SUB, 128)
-    return hrow, hcol
+    def merge_rows(parts):
+        return jnp.stack(
+            [parts[k].reshape(BB, K, prev_len)[:, k] for k in range(K)],
+            axis=1,
+        ).reshape(B, prev_len)
+
+    def merge_cols(parts):
+        return jnp.stack(
+            [parts[k].reshape(BB, K, CT, SUB, 128)[:, k] for k in range(K)],
+            axis=1,
+        ).reshape(B, CT, SUB, 128)
+
+    def merge_blks(parts):
+        return jnp.stack(
+            [parts[k].reshape(BB, K, SUB, 128)[:, k] for k in range(K)],
+            axis=1,
+        ).reshape(B, SUB, 128)
+
+    pos = 0
+    out = {"hrow": merge_rows(outs[pos: pos + K])}
+    pos += K
+    out["hcol"] = merge_cols(outs[pos: pos + K])
+    pos += K
+    if affine:
+        out["frow"] = merge_rows(outs[pos: pos + K])
+        pos += K
+        out["ecol"] = merge_cols(outs[pos: pos + K])
+        pos += K
+    if is_sw:
+        out["bv"] = merge_blks(outs[pos: pos + K])
+        pos += K
+        out["bc"] = merge_blks(outs[pos: pos + K])
+        pos += K
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("R", "W", "TW", "K", "interpret")
+)
+def pallas_mlsp_nw_lg_v2(subst, Y, X, gapo, *, R: int, W: int, TW: int,
+                         K: int, interpret: bool = False):
+    """NW linear-gap convenience wrapper (the flagship benchmark path).
+
+    hrow: (B, prev_len)         row (b+1)*R of H (indexed by global j)
+    hcol: (B, CT, SUB, 128)     hcol[b, jt] = H[b*R+1 .. (b+1)*R, jt*TW]
+    """
+    out = pallas_mlsp_v2(
+        subst, Y, X, gapo, jnp.int32(0),
+        jnp.int32(Y.shape[0]), jnp.int32(X.shape[0]),
+        R=R, W=W, TW=TW, K=K, kind="nw", gap="linear", interpret=interpret,
+    )
+    return out["hrow"], out["hcol"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("R", "W", "TW", "kind", "gap", "interpret"),
+)
+def pallas_mlsp_batch_v2(subst, Ys, Xs, gapo, gape, adjrs, adjcs, *,
+                         R: int, W: int, TW: int, kind: str = "nw",
+                         gap: str = "linear", interpret: bool = False):
+    """Batched sparse fill: K pairs run as K interleaved chains.
+
+    Unlike the single-pair echelon, the chains are independent pairs with
+    the SAME padded shape (one bucket), so there is no offset and no
+    cross-chain coupling: chain k's predecessor-row buffer is its own
+    (block b of pair k reads pair k's block b-1), every chain starts from
+    the header row, and the fill has zero pipeline bubbles.
+
+    Ys: (K, 1+rows_p), Xs: (K, 1+cols_p) with header elements;
+    adjrs/adjcs: (K,) true dims (traced). Returns a dict of per-pair
+    arrays: hrow (K, B, prev_len), hcol (K, B, CT, SUB, 128), cost
+    (K, SUB, 128) [max = H[adjr-1, adjc-1]], plus frow/ecol (affine) and
+    bv/bc (SW) like pallas_mlsp_v2.
+    """
+    K = Ys.shape[0]
+    rows_p = Ys.shape[1] - 1
+    cols_p = Xs.shape[1] - 1
+    SUB = R // 128
+    B = rows_p // R
+    affine = gap == "affine"
+    is_sw = kind == "sw"
+    OFF = 0
+    NS = R + cols_p - 1
+    NSpad = _cdiv(NS + 128, W) * W
+    CH = NSpad // W
+    prev_len = NSpad + 128
+    CT = _cdiv(CH, TW // W)
+
+    planes = jax.vmap(lambda y: _pack_planes(subst, y, B, R))(Ys)
+    planes = planes.reshape(K * B, 8, SUB, 128)
+    xpad = jnp.zeros((K, NSpad + 1), jnp.int32)
+    xpad = xpad.at[:, :cols_p].set(Xs[:, 1:])
+    xwin = xpad[:, :NSpad].reshape(K * (NSpad // W), W // 128, 128)
+
+    kernel, q, _ = _make_kernel(
+        K=K, SUB=SUB, W=W, CH=CH, cols_p=cols_p, R=R, TW=TW, OFF=OFF,
+        prev_len=prev_len, B=B, kind=kind, gap=gap, batch=True,
+        capture_cost=True,
+    )
+    gmat = jnp.concatenate([
+        jnp.stack([jnp.int32(gapo), jnp.int32(gape)]),
+        jnp.asarray(adjrs, jnp.int32),
+        jnp.asarray(adjcs, jnp.int32),
+    ]).reshape(1, 2 + 2 * K)
+
+    def kspecs(shape, index):
+        return [
+            pl.BlockSpec(shape, functools.partial(index, k=k),
+                         memory_space=pltpu.VMEM)
+            for k in range(K)
+        ]
+
+    in_specs = [pl.BlockSpec((1, 2 + 2 * K), lambda bb, ch: (0, 0),
+                             memory_space=pltpu.SMEM)]
+    in_specs += kspecs(
+        (1, 8, SUB, 128), lambda bb, ch, k=0: (k * B + bb, 0, 0, 0)
+    )
+    in_specs += kspecs(
+        (1, W // 128, 128), lambda bb, ch, k=0: (k * CH + ch, 0, 0)
+    )
+
+    row_shape = jax.ShapeDtypeStruct((B, 1, prev_len), jnp.int32)
+    col_shape = jax.ShapeDtypeStruct((B, CT, SUB, 128), jnp.int32)
+    # bv/bc/cost are per-BLOCK outputs (the per-chain scratch re-inits at
+    # every bb pass, and a lane means a different global row per block).
+    blk_shape = jax.ShapeDtypeStruct((B, SUB, 128), jnp.int32)
+    row_specs = kspecs((1, 1, prev_len), lambda bb, ch, k=0: (bb, 0, 0))
+    col_specs = kspecs(
+        (1, 1, SUB, 128),
+        lambda bb, ch, k=0: (bb, jnp.clip(ch // q, 0, CT - 1), 0, 0),
+    )
+    blk_specs = kspecs((1, SUB, 128), lambda bb, ch, k=0: (bb, 0, 0))
+
+    out_specs = row_specs + col_specs
+    out_shapes = [row_shape] * K + [col_shape] * K
+    if affine:
+        out_specs += row_specs + col_specs
+        out_shapes += [row_shape] * K + [col_shape] * K
+    if is_sw:
+        out_specs += blk_specs + blk_specs
+        out_shapes += [blk_shape] * K + [blk_shape] * K
+    out_specs += blk_specs  # cost
+    out_shapes += [blk_shape] * K
+
+    scratch = [pltpu.VMEM((1, prev_len), jnp.int32) for _ in range(K)]
+    if affine:
+        scratch += [pltpu.VMEM((1, prev_len), jnp.int32) for _ in range(K)]
+    scratch += [
+        pltpu.VMEM((K, SUB, 128), jnp.int32),  # v1s
+        pltpu.VMEM((K, SUB, 128), jnp.int32),  # shps
+        pltpu.VMEM((K, SUB, 128), jnp.int32),  # xds
+        pltpu.VMEM((K, SUB, 128), jnp.int32),  # accs
+        pltpu.VMEM((K, 1, 128), jnp.int32),    # prows
+    ]
+    if affine:
+        scratch += [
+            pltpu.VMEM((K, SUB, 128), jnp.int32),  # e1s
+            pltpu.VMEM((K, SUB, 128), jnp.int32),  # f1s
+            pltpu.VMEM((K, SUB, 128), jnp.int32),  # accEs
+            pltpu.VMEM((K, 1, 128), jnp.int32),    # prowFs
+        ]
+    if is_sw:
+        scratch += [
+            pltpu.VMEM((K, SUB, 128), jnp.int32),  # bvs
+            pltpu.VMEM((K, SUB, 128), jnp.int32),  # bcs
+        ]
+    scratch += [pltpu.VMEM((K, SUB, 128), jnp.int32)]  # costs
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, CH),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(gmat, *([planes] * K), *([xwin] * K))
+
+    pos = 0
+    out = {"hrow": jnp.stack([outs[pos + k][:, 0] for k in range(K)])}
+    pos += K
+    out["hcol"] = jnp.stack(outs[pos: pos + K])
+    pos += K
+    if affine:
+        out["frow"] = jnp.stack([outs[pos + k][:, 0] for k in range(K)])
+        pos += K
+        out["ecol"] = jnp.stack(outs[pos: pos + K])
+        pos += K
+    if is_sw:
+        out["bv"] = jnp.stack(outs[pos: pos + K])
+        pos += K
+        out["bc"] = jnp.stack(outs[pos: pos + K])
+        pos += K
+    out["cost"] = jnp.stack(outs[pos: pos + K])
+    return out
 
 
 def v2_params_ok(tile_h: int, tile_w: int, rows: int, cols: int) -> bool:
@@ -377,13 +759,21 @@ def v2_params_ok(tile_h: int, tile_w: int, rows: int, cols: int) -> bool:
     )
 
 
+K_MAX_DEFAULT = {
+    # Measured on v5e at 23728^2, R=TW=2048. Above these the per-chain
+    # carry state spills registers and Mosaic fails to compile (scoped
+    # vmem stack OOM) or collapses (K=8 nw_lg: 8.2 GCUPS).
+    ("nw", "linear"): 6,   # 55.9 GCUPS
+    ("sw", "linear"): 6,   # 50.0 GCUPS
+    ("nw", "affine"): 4,   # 38.7 GCUPS
+    ("sw", "affine"): 3,   # 33.6 GCUPS
+}
+
+
 def choose_k(trows: int, k_max: int = 6) -> int:
-    """Number of interleaved chains. Measured on v5e: throughput rises
-    through K=6 (55.9 GCUPS at 23728^2, R=TW=2048) and collapses at K=8
-    (register spills: 8 chains x 8 resident plane words exceed the vreg
-    budget)."""
-    for k in (k_max, 4, 2, 1):
-        if k <= trows:
+    """Number of interleaved chains (bounded by the row-block count)."""
+    for k in (k_max, 4, 3, 2, 1):
+        if k <= trows and k <= k_max:
             return k
     return 1
 
@@ -391,9 +781,14 @@ def choose_k(trows: int, k_max: int = 6) -> int:
 def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
                   tile_h: int, tile_w: int, trows: int, tcols: int,
                   interpret: bool = False) -> Status:
-    """Host wrapper matching v1's align_mlsp contract (same output massage
-    into the reference sparse layout)."""
+    """Host wrapper: general-spec v2 fill massaged into the reference
+    sparse layout (plus the affine F/E headers and SW argmax)."""
     from .pallas_kernels import _mlsp_store
+    from ..core.types import AlignKind, GapKind
+
+    spec = nw.spec
+    affine = spec.gap == GapKind.AFFINE
+    is_sw = spec.kind == AlignKind.SW
 
     sw = res.sw_align
     sw.start()
@@ -402,7 +797,11 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     R = tile_h
     TW = tile_w
     W = min(512, TW)
-    K = choose_k(trows, int(pr.get("kChains", 0) or 4))
+    k_max = int(
+        pr.get("kChains", 0)
+        or K_MAX_DEFAULT[(spec.kind.value, spec.gap.value)]
+    )
+    K = choose_k(trows, k_max)
     trows_p = _cdiv(trows, K) * K  # pad row blocks so B % K == 0
     rows_p = trows_p * R
     cols_p = tcols * TW
@@ -418,30 +817,115 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     jax.block_until_ready((subst_d, y_d, x_d))
     sw.lap("align.cpy_dev")
 
-    hrow_d, hcol_d = pallas_mlsp_nw_lg_v2(
-        subst_d, y_d, x_d, jnp.int32(nw.gapo_cost), R=R, W=W, TW=TW, K=K,
-        interpret=interpret,
-    )
-    jax.block_until_ready((hrow_d, hcol_d))
+    while True:
+        try:
+            out_d = pallas_mlsp_v2(
+                subst_d, y_d, x_d,
+                jnp.int32(nw.gapo_cost), jnp.int32(nw.gape_cost),
+                nw.adjrows, nw.adjcols,
+                R=R, W=W, TW=TW, K=K,
+                kind=spec.kind.value, gap=spec.gap.value,
+                interpret=interpret,
+            )
+            jax.block_until_ready(out_d)
+            break
+        except Exception:
+            # Chain-state register spills can fail compilation for large
+            # K x SUB combinations; back off and retry.
+            if K == 1:
+                raise
+            K = choose_k(trows, K - 1)
+            trows_p = _cdiv(trows, K) * K
+            rows_p = trows_p * R
+            y2 = np.zeros(1 + rows_p, np.int32)
+            y2[: nw.adjrows] = nw.seqY
+            y_d = jax.device_put(y2)
+            jax.block_until_ready(y_d)
     sw.lap("align.calc")
 
-    hrow = np.asarray(jax.device_get(hrow_d))
-    hcol = np.asarray(jax.device_get(hcol_d))
+    out = {kk: np.asarray(jax.device_get(v)) for kk, v in out_d.items()}
     sw.lap("align.cpy_host")
-    nw.note_device_alloc(int(hrow.nbytes + hcol.nbytes))
+    nw.note_device_alloc(sum(int(v.nbytes) for v in out.values()))
 
+    ninf = np.int32(NEG_INF_I32)
     g = nw.gapo_cost
+    ge = nw.gape_cost
     width = cols_p + 1
-    hrows = np.empty((trows, width), dtype=np.int32)
-    hrows[0] = (np.arange(width, dtype=np.int64) * g).astype(np.int32)
+
+    def rows_from(hrow, hdr0, col0_fn):
+        m = np.empty((trows, width), np.int32)
+        m[0] = hdr0
+        if trows > 1:
+            m[1:, 0] = col0_fn(np.arange(1, trows, dtype=np.int64) * R)
+            m[1:, 1:] = hrow[: trows - 1, 1: width]
+        return m
+
+    jw = np.arange(width, dtype=np.int64)
+    if is_sw:
+        hdr0 = np.zeros(width, np.int32)
+        col0 = lambda i: np.zeros_like(i, dtype=np.int32)
+    elif affine:
+        hdr0 = (g + jw * ge).astype(np.int32)
+        hdr0[0] = 0
+        col0 = lambda i: (g + i * ge).astype(np.int32)
+    else:
+        hdr0 = (jw * g).astype(np.int32)
+        col0 = lambda i: (i * g).astype(np.int32)
+    # hrow[b, j] = H[(b+1)R, j] with j == 0 the seeded header element; the
+    # layout below wants row it*R including the header column element.
+    hrows = np.empty((trows, width), np.int32)
+    hrows[0] = hdr0
     if trows > 1:
-        hrows[1:] = hrow[: trows - 1, :width]
-    hcols = np.empty((trows, R, tcols), dtype=np.int32)
-    col0 = (
-        np.arange(1, trows * R + 1, dtype=np.int64) * g
-    ).astype(np.int32).reshape(trows, R)
-    hcols[:, :, 0] = col0
-    if tcols > 1:
-        hc = hcol.reshape(trows_p, -1, R)
-        hcols[:, :, 1:] = np.transpose(hc[:trows, 1:tcols, :], (0, 2, 1))
-    return _mlsp_store(nw, res, hrows, hcols, tile_h, tile_w, trows, tcols)
+        hrows[1:] = out["hrow"][: trows - 1, :width]
+
+    def cols_from(hcol, first_col):
+        m = np.empty((trows, R, tcols), np.int32)
+        m[:, :, 0] = first_col
+        if tcols > 1:
+            hc = hcol.reshape(trows_p, -1, R)
+            m[:, :, 1:] = np.transpose(hc[:trows, 1:tcols, :], (0, 2, 1))
+        return m
+
+    ii = np.arange(1, trows * R + 1, dtype=np.int64).reshape(trows, R)
+    if is_sw:
+        col0_h = np.zeros((trows, R), np.int32)
+    elif affine:
+        col0_h = (g + ii * ge).astype(np.int32)
+    else:
+        col0_h = (ii * g).astype(np.int32)
+    hcols = cols_from(out["hcol"], col0_h)
+
+    frows = ecols = None
+    if affine:
+        frows = np.empty((trows, width), np.int32)
+        frows[0] = ninf
+        if trows > 1:
+            frows[1:] = out["frow"][: trows - 1, :width]
+            frows[1:, 0] = ninf
+        ecols = cols_from(out["ecol"], np.full((trows, R), ninf, np.int32))
+
+    best = None
+    if is_sw:
+        SUB = R // 128
+        bv = out["bv"].reshape(trows_p, R)[:trows]
+        bc = out["bc"].reshape(trows_p, R)[:trows]
+        iv = 1 + np.arange(trows * R).reshape(trows, R)
+        jv = bc - (np.arange(R) % R).reshape(1, R) + 1
+        # lane index within block is i2d = 0..R-1
+        i2d = np.arange(R).reshape(1, R)
+        jv = bc - i2d + 1
+        flat_v = bv.ravel()
+        if flat_v.max(initial=0) <= 0:
+            best = np.array([0, 0, 0], np.int32)
+        else:
+            order = np.lexsort((jv.ravel(), iv.ravel(), -flat_v))
+            b0 = order[0]
+            best = np.array(
+                [flat_v[b0], iv.ravel()[b0], jv.ravel()[b0]], np.int32
+            )
+
+    stat = _mlsp_store(
+        nw, res, hrows, hcols, tile_h, tile_w, trows, tcols,
+        frows=frows, ecols=ecols, best=best,
+    )
+    return stat

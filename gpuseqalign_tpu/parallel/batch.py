@@ -189,6 +189,95 @@ def bucket_pairs(
     return buckets
 
 
+def _pallas_batch_scores(
+    spec: AlignSpec,
+    subst_j,
+    ys: np.ndarray,
+    xs: np.ndarray,
+    adjrs: np.ndarray,
+    adjcs: np.ndarray,
+    gapo: int,
+    gape: int,
+):
+    """TPU fast path for one bucket: groups of K pairs run as K interleaved
+    chains in the v2 Pallas kernel (ops/pallas_wavefront2.py). Returns
+    (costs, best_i, best_j) matching scores_batch."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.pallas_wavefront2 import K_MAX_DEFAULT, pallas_mlsp_batch_v2
+
+    is_sw = spec.kind.value == "sw"
+    K = K_MAX_DEFAULT[(spec.kind.value, spec.gap.value)]
+    b = ys.shape[0]
+    b_pad = _pad_to(b, K)
+    if b_pad != b:
+        pad = b_pad - b
+        ys = np.concatenate([ys, np.zeros((pad, ys.shape[1]), np.int32)])
+        xs = np.concatenate([xs, np.zeros((pad, xs.shape[1]), np.int32)])
+        adjrs = np.concatenate([adjrs, np.ones(pad, np.int32)])
+        adjcs = np.concatenate([adjcs, np.ones(pad, np.int32)])
+
+    rows_p = ys.shape[1] - 1
+    cols_p = xs.shape[1] - 1
+    for R in (2048, 1024, 512, 256, 128):
+        if rows_p % R == 0:
+            break
+    for TW in (2048, 1024, 512, 256, 128):
+        if cols_p % TW == 0:
+            break
+    R = min(R, TW)  # the kernel requires TW >= R
+    W = min(512, TW)
+
+    costs = np.zeros(b, np.int32)
+    best_i = np.zeros(b, np.int32)
+    best_j = np.zeros(b, np.int32)
+    lane = np.arange(rows_p) % R
+    for g0 in range(0, b_pad, K):
+        out = pallas_mlsp_batch_v2(
+            subst_j,
+            jnp.asarray(ys[g0: g0 + K]), jnp.asarray(xs[g0: g0 + K]),
+            jnp.int32(gapo), jnp.int32(gape),
+            jnp.asarray(adjrs[g0: g0 + K]), jnp.asarray(adjcs[g0: g0 + K]),
+            R=R, W=W, TW=TW, kind=spec.kind.value, gap=spec.gap.value,
+        )
+        if is_sw:
+            bv = np.asarray(jax.device_get(out["bv"])).reshape(K, -1)
+            bc = np.asarray(jax.device_get(out["bc"])).reshape(K, -1)
+        else:
+            cost = np.asarray(jax.device_get(out["cost"])).reshape(K, -1)
+        for k in range(K):
+            idx = g0 + k
+            if idx >= b:
+                break
+            if is_sw:
+                v = bv[k]
+                if v.max(initial=0) <= 0:
+                    costs[idx] = 0
+                    continue
+                iv = 1 + np.arange(v.shape[0])
+                jv = bc[k] - lane + 1
+                o = np.lexsort((jv, iv, -v))[0]
+                costs[idx] = v[o]
+                best_i[idx] = iv[o]
+                best_j[idx] = jv[o]
+            else:
+                costs[idx] = cost[k].max()
+    return costs, best_i, best_j
+
+
+def _pallas_batch_ok(spec: AlignSpec, rows_p: int, gapo: int,
+                     gape: int) -> bool:
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    if spec.gap.value == "affine" and (gapo > 0 or gape > 0):
+        return False
+    # Below 8 sublanes per lane-block the vector registers are mostly
+    # padding and the vmapped XLA row-scan wins.
+    return rows_p >= 1024
+
+
 def align_pairs_batched(
     spec: AlignSpec,
     subst: np.ndarray,
@@ -203,6 +292,8 @@ def align_pairs_batched(
     With a mesh, the stacked batch is placed with NamedSharding over the
     mesh axis so XLA splits the vmap across chips; the batch is padded to a
     multiple of the mesh size with dummy pairs (dropped from the output).
+    On a single TPU without a mesh, buckets of large pairs route to the
+    multi-chain Pallas kernel (pairs-as-chains, zero pipeline bubbles).
     """
     n = len(pairs)
     costs = np.zeros(n, np.int32)
@@ -229,17 +320,23 @@ def align_pairs_batched(
             adjrs[k] = len(y)
             adjcs[k] = len(x)
 
-        args = (jnp.asarray(ys), jnp.asarray(xs),
-                jnp.asarray(adjrs), jnp.asarray(adjcs))
-        if mesh is not None:
-            sh = batch_sharding(mesh)
-            args = tuple(jax.device_put(a, sh) for a in args)
+        if mesh is None and _pallas_batch_ok(spec, rows_p, gapo, gape):
+            c, bi, bj = _pallas_batch_scores(
+                spec, subst_j, ys[:b], xs[:b], adjrs[:b], adjcs[:b],
+                gapo, gape,
+            )
+        else:
+            args = (jnp.asarray(ys), jnp.asarray(xs),
+                    jnp.asarray(adjrs), jnp.asarray(adjcs))
+            if mesh is not None:
+                sh = batch_sharding(mesh)
+                args = tuple(jax.device_put(a, sh) for a in args)
 
-        c, bi, bj = scores_batch(
-            subst_j, *args, jnp.int32(gapo), jnp.int32(gape),
-            kind=spec.kind.value, gap=spec.gap.value,
-        )
-        c, bi, bj = jax.device_get((c, bi, bj))
+            c, bi, bj = scores_batch(
+                subst_j, *args, jnp.int32(gapo), jnp.int32(gape),
+                kind=spec.kind.value, gap=spec.gap.value,
+            )
+            c, bi, bj = jax.device_get((c, bi, bj))
         for k, idx in enumerate(idxs):
             costs[idx] = c[k]
             best_i[idx] = bi[k]

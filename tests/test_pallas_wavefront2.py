@@ -36,11 +36,8 @@ def _pad_to(n, m):
 @pytest.mark.parametrize(
     "rows,cols,R,W,TW,K",
     [
-        (300, 800, 128, 128, 128, 2),
-        (260, 700, 128, 128, 256, 2),
-        (512, 1200, 128, 128, 256, 4),
-        (520, 1111, 256, 256, 512, 2),
-        (250, 900, 128, 128, 512, 1),
+        (300, 600, 128, 128, 128, 2),
+        (290, 300, 256, 256, 512, 1),
     ],
 )
 def test_v2_matches_oracle(blosum62, rng, rows, cols, R, W, TW, K):
@@ -73,8 +70,8 @@ def test_v2_matches_oracle(blosum62, rng, rows, cols, R, W, TW, K):
 
 def test_align_mlsp_v2_end_to_end(blosum62, rng):
     """Wrapper path: sparse layout + traceback + hash parity vs oracle."""
-    Y = random_seq(rng, 333)
-    X = random_seq(rng, 777)
+    Y = random_seq(rng, 200)
+    X = random_seq(rng, 380)
 
     nw = AlgInput()
     nw.subst = blosum62
@@ -86,8 +83,8 @@ def test_align_mlsp_v2_end_to_end(blosum62, rng):
 
     res = AlgResult()
     tile_h, tile_w = 128, 256
-    trows = -(-333 // tile_h)
-    tcols = -(-777 // tile_w)
+    trows = -(-200 // tile_h)
+    tcols = -(-380 // tile_w)
     stat = align_mlsp_v2(
         AlgParams({}), nw, res, tile_h, tile_w, trows, tcols, interpret=True
     )
@@ -103,3 +100,100 @@ def test_align_mlsp_v2_end_to_end(blosum62, rng):
 
     assert hash_sparse(nw, res) == Status.success
     assert res.score_hash == oracle_hash_dense(mats["H"])
+
+
+@pytest.mark.parametrize("spec_name", ["nw_ag", "sw_lg", "sw_ag"])
+def test_align_mlsp_v2_specs(blosum62, rng, spec_name):
+    """General-spec v2 kernel end to end (interpret): sparse layout +
+    traceback + hash parity vs the dense oracle."""
+    from gpuseqalign_tpu.models.oracle import align_cost_of
+
+    spec = AlignSpec.from_name(spec_name)
+    Y = random_seq(rng, 150)
+    X = random_seq(rng, 260)
+
+    nw = AlgInput()
+    nw.subst = blosum62
+    nw.substsz = blosum62.shape[0]
+    nw.seqY, nw.seqX = Y, X
+    nw.adjrows, nw.adjcols = len(Y), len(X)
+    nw.gapo_cost, nw.gape_cost = -11, -2
+    nw.spec = spec
+
+    res = AlgResult()
+    tile_h, tile_w = 128, 128
+    trows = -(-150 // tile_h)
+    tcols = -(-260 // tile_w)
+    stat = align_mlsp_v2(
+        AlgParams({"kChains": [2]}), nw, res, tile_h, tile_w, trows, tcols,
+        interpret=True,
+    )
+    assert stat == Status.success
+
+    mats = oracle_align_dense(spec, blosum62, Y, X, -11, -2)
+    assert res.align_cost == align_cost_of(spec, mats)
+
+    assert trace_sparse(nw, res, False) == Status.success
+    transcript, thash, _ = oracle_trace_dense(
+        spec, mats, blosum62, Y, X, -11, -2
+    )
+    assert res.edit_trace == transcript
+    assert res.trace_hash == thash
+
+    assert hash_sparse(nw, res) == Status.success
+    assert res.score_hash == oracle_hash_dense(mats["H"])
+
+
+@pytest.mark.parametrize("spec_name", ["nw_lg", "sw_lg"])
+def test_batch_kernel_matches_oracle(blosum62, rng, spec_name):
+    """Batched variant (pairs-as-chains, self-chained row buffers): costs
+    and SW argmax vs the dense oracle, mixed true lengths in one bucket."""
+    import jax.numpy as jnp
+    from gpuseqalign_tpu.models.oracle import align_cost_of
+    from gpuseqalign_tpu.ops.pallas_wavefront2 import pallas_mlsp_batch_v2
+
+    spec = AlignSpec.from_name(spec_name)
+    K, R, W, TW = 2, 128, 128, 128
+    sizes = [(150, 260), (250, 170)]
+    rows_p, cols_p = 384, 384
+    Ys = np.zeros((K, 1 + rows_p), np.int32)
+    Xs = np.zeros((K, 1 + cols_p), np.int32)
+    adjrs = np.zeros(K, np.int32)
+    adjcs = np.zeros(K, np.int32)
+    seqs = []
+    for k, (r, c) in enumerate(sizes):
+        y = random_seq(rng, r)
+        x = random_seq(rng, c)
+        Ys[k, : 1 + r] = y
+        Xs[k, : 1 + c] = x
+        adjrs[k], adjcs[k] = r + 1, c + 1
+        seqs.append((y, x))
+
+    out = pallas_mlsp_batch_v2(
+        jnp.asarray(blosum62), jnp.asarray(Ys), jnp.asarray(Xs),
+        jnp.int32(-11), jnp.int32(-2), jnp.asarray(adjrs),
+        jnp.asarray(adjcs),
+        R=R, W=W, TW=TW, kind=spec.kind.value, gap=spec.gap.value,
+        interpret=True,
+    )
+    for k, (y, x) in enumerate(seqs):
+        mats = oracle_align_dense(spec, blosum62, y, x, -11, -2)
+        want = align_cost_of(spec, mats)
+        if spec_name.startswith("sw"):
+            bv = np.asarray(out["bv"][k]).reshape(-1)
+            bc = np.asarray(out["bc"][k]).reshape(-1)
+            got = int(bv.max(initial=0))
+            iv = 1 + np.arange(bv.shape[0])
+            jv = bc - (np.arange(bv.shape[0]) % R) + 1
+            o = np.lexsort((jv, iv, -bv))[0]
+            assert got == want
+            assert (iv[o], jv[o]) == tuple(int(v) for v in mats["best"])
+        else:
+            assert int(np.asarray(out["cost"][k]).max()) == want
+        # Block-0 bottom row must equal the oracle row on the padded pair.
+        Hp = oracle_align_dense(
+            spec, blosum62, Ys[k], Xs[k], -11, -2
+        )["H"]
+        np.testing.assert_array_equal(
+            np.asarray(out["hrow"][k, 0, : cols_p + 1]), Hp[R, : cols_p + 1]
+        )
