@@ -1,0 +1,115 @@
+"""Batch throughput benchmark: aligned pairs/s (BASELINE.json metric:
+"aligned pairs/s at N hosts").
+
+Aligns every pair of a pair file through the batch engine
+(parallel/batch.py: shape-bucketed, vmapped/Pallas-chained, optionally
+mesh-sharded) and reports pairs/s and aggregate GCUPS. Costs are verified
+against the CPU oracle for --verify sampled pairs.
+
+Usage:
+    python -m gpuseqalign_tpu.bench.throughput \
+        --seqPath resrc/seq_generated.fa --seqPairPath resrc/pair_generated_1.txt \
+        [--algKind nw_lg] [--devices N] [--verify 5]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import argparse
+
+    from ..core.types import AlignSpec
+    from ..io.fasta import parse_seq_file
+    from ..io.pairs import default_pairs, parse_seq_pair_file
+    from ..io.subst import parse_subst_file
+    from ..parallel import align_pairs_batched, make_mesh
+    from ..bench.driver import vector_substring_with_header
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seqPath", required=True)
+    ap.add_argument("--seqPairPath", default="")
+    ap.add_argument("--substPath", default="./resrc/subst.json")
+    ap.add_argument("--substName", default="blosum62")
+    ap.add_argument("--gapoCost", type=int, default=-11)
+    ap.add_argument("--gapeCost", type=int, default=-2)
+    ap.add_argument("--algKind", default="nw_lg")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="mesh size for data-parallel sharding (0 = none)")
+    ap.add_argument("--quantum", type=int, default=256)
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--verify", type=int, default=5,
+                    help="verify N sampled pairs against the CPU oracle")
+    args = ap.parse_args(argv)
+
+    spec = AlignSpec.from_name(args.algKind)
+    subst_data = parse_subst_file(args.substPath)
+    subst = subst_data.subst_map[args.substName]
+    seq_data = parse_seq_file(args.seqPath, subst_data.letter_map)
+    if args.seqPairPath:
+        pair_list = parse_seq_pair_file(args.seqPairPath, seq_data.seq_map)
+    else:
+        pair_list = default_pairs(seq_data.seq_map)
+
+    pairs = []
+    for p in pair_list:
+        y = vector_substring_with_header(
+            seq_data.seq_map[p.seqY_id].seq, p.seqY_range
+        )
+        x = vector_substring_with_header(
+            seq_data.seq_map[p.seqX_id].seq, p.seqX_range
+        )
+        pairs.append((y, x))
+    cells = sum((len(y) - 1) * (len(x) - 1) for y, x in pairs)
+
+    mesh = make_mesh(args.devices) if args.devices else None
+
+    # Warmup (compiles one program per shape bucket).
+    out = align_pairs_batched(
+        spec, subst, pairs, args.gapoCost, args.gapeCost,
+        mesh=mesh, quantum=args.quantum,
+    )
+    ts = []
+    for _ in range(args.repeat):
+        t0 = time.perf_counter()
+        out = align_pairs_batched(
+            spec, subst, pairs, args.gapoCost, args.gapeCost,
+            mesh=mesh, quantum=args.quantum,
+        )
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
+
+    n_bad = 0
+    if args.verify:
+        from ..models.oracle import align_cost_of, oracle_align_dense
+
+        idxs = np.linspace(0, len(pairs) - 1, min(args.verify, len(pairs)))
+        for i in sorted({int(v) for v in idxs}):
+            y, x = pairs[i]
+            mats = oracle_align_dense(
+                spec, subst, y, x, args.gapoCost, args.gapeCost
+            )
+            if out.costs[i] != align_cost_of(spec, mats):
+                n_bad += 1
+                print(
+                    f"MISMATCH pair {i}: {out.costs[i]} vs oracle "
+                    f"{align_cost_of(spec, mats)}",
+                    file=sys.stderr,
+                )
+
+    print(
+        f"{args.algKind}: {len(pairs)} pairs in {t * 1e3:.1f} ms -> "
+        f"{len(pairs) / t:.1f} pairs/s, {cells / t / 1e9:.2f} GCUPS agg, "
+        f"{out.n_buckets} shape buckets"
+        + (f", {n_bad} verify mismatches" if n_bad else ", verify ok")
+    )
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
