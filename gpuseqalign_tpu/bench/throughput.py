@@ -41,11 +41,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--algKind", default="nw_lg")
     ap.add_argument("--devices", type=int, default=0,
                     help="mesh size for data-parallel sharding (0 = none)")
-    ap.add_argument("--quantum", type=int, default=256)
+    ap.add_argument("--quantum", default="pow2",
+                    help='int (linear padding) or "pow2" (geometric)')
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--verify", type=int, default=5,
                     help="verify N sampled pairs against the CPU oracle")
     args = ap.parse_args(argv)
+    if args.quantum != "pow2":
+        args.quantum = int(args.quantum)
 
     spec = AlignSpec.from_name(args.algKind)
     subst_data = parse_subst_file(args.substPath)

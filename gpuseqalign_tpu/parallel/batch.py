@@ -174,17 +174,34 @@ class BatchResult:
     n_programs: int = 0
 
 
+def _pad_pow2(n: int, floor: int) -> int:
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
 def bucket_pairs(
-    pairs: Sequence[Tuple[np.ndarray, np.ndarray]], quantum: int = 256
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    quantum: "int | str" = 256,
 ) -> Dict[Tuple[int, int], List[int]]:
     """Group pair indices by padded (rows_p, cols_p) so each bucket compiles
-    once. quantum bounds recompilation like the reference's tile padding."""
+    once. An int quantum pads linearly (like the reference's tile padding);
+    quantum="pow2" pads each dim to the next power of two (floor 256) —
+    at most 2x padded cells, but heterogeneous workloads collapse into
+    O(log n) buckets instead of one per distinct shape."""
     buckets: Dict[Tuple[int, int], List[int]] = {}
     for idx, (y, x) in enumerate(pairs):
-        key = (
-            _pad_to(max(len(y) - 1, 1), quantum),
-            _pad_to(max(len(x) - 1, 1), quantum),
-        )
+        if quantum == "pow2":
+            key = (
+                _pad_pow2(max(len(y) - 1, 1), 256),
+                _pad_pow2(max(len(x) - 1, 1), 256),
+            )
+        else:
+            key = (
+                _pad_to(max(len(y) - 1, 1), quantum),
+                _pad_to(max(len(x) - 1, 1), quantum),
+            )
         buckets.setdefault(key, []).append(idx)
     return buckets
 
