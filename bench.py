@@ -172,6 +172,29 @@ def main() -> int:
         raise RuntimeError(f"oracle failed: {stat!r}")
     oracle_gcups = ORACLE_N * ORACLE_N / t_or / 1e9
 
+    # Correctness gate: the benched kernel must reproduce the oracle's
+    # align_cost on the prefix problem before its number counts.
+    if on_tpu:
+        from gpuseqalign_tpu.ops.pallas_kernels import align_pallas_mlsp
+
+        nwc = AlgInput()
+        nwc.subst = subst
+        nwc.substsz = subst.shape[0]
+        nwc.seqY = nwo.seqY
+        nwc.seqX = nwo.seqX
+        nwc.adjrows = nwc.adjcols = 1 + ORACLE_N
+        nwc.gapo_cost, nwc.gape_cost = GAPO, GAPE
+        nwc.spec = nw_spec()
+        resc = AlgResult()
+        stat = align_pallas_mlsp(
+            AlgParams({"tileBy": [2048], "tileBx": [2048]}), nwc, resc
+        )
+        if stat != Status.success or resc.align_cost != reso.align_cost:
+            raise RuntimeError(
+                f"bench kernel mismatch: {stat!r} "
+                f"{resc.align_cost} vs oracle {reso.align_cost}"
+            )
+
     name = f"{KIND}_{'ag' if GAP == 'affine' else 'lg'}"
     metric = (
         f"GCUPS {name} pallas_mlsp_v2 23728x23728 (v5e chip)"
