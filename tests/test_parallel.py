@@ -124,3 +124,38 @@ class TestGiant:
         assert stat == Status.success
         mats = oracle_align_dense(spec, blosum62, y, x, -11)
         assert res.align_cost == int(mats["H"][-1, -1])
+
+
+class TestGiant2:
+    def test_banded_v2_matches_oracle(self, rng, blosum62):
+        """Pallas-banded giant engine (interpret) on a 4-device mesh:
+        cost + sparse trace + hash bit-exact vs the dense oracle."""
+        from gpuseqalign_tpu.parallel.giant2 import align_giant2_nw_lg
+
+        mesh = make_mesh(4, axis_name="sp")
+        spec = AlignSpec.from_name("nw_lg")
+        y = random_seq(rng, 300)
+        x = random_seq(rng, 700)
+        nw = AlgInput()
+        nw.subst = blosum62
+        nw.substsz = blosum62.shape[0]
+        nw.seqY, nw.seqX = y, x
+        nw.adjrows, nw.adjcols = len(y), len(x)
+        nw.gapo_cost = -11
+        nw.spec = spec
+        res = AlgResult()
+        stat = align_giant2_nw_lg(
+            AlgParams({"tileBy": [128], "tileBx": [128], "kChains": [2]}),
+            nw, res, mesh=mesh, interpret=True,
+        )
+        assert stat == Status.success
+        mats = oracle_align_dense(spec, blosum62, y, x, -11)
+        assert res.align_cost == int(mats["H"][-1, -1])
+        assert trace_sparse(nw, res, False) == Status.success
+        transcript, thash, _ = oracle_trace_dense(
+            spec, mats, blosum62, y, x, -11
+        )
+        assert res.edit_trace == transcript
+        assert res.trace_hash == thash
+        assert hash_sparse(nw, res) == Status.success
+        assert res.score_hash == oracle_hash_dense(mats["H"])
