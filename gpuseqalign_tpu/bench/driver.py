@@ -100,11 +100,18 @@ def combine_rep_results(res_list: List[AlgResult]) -> AlgResult:
 
 
 def _device_core_count() -> int:
+    """TPU-native analog of the reference's multiProcessorCount
+    (ref: src/benchmark.cpp:178-187): TensorCores per TPU device, host
+    CPU count on the CPU backend."""
     try:
         import jax
 
         dev = jax.devices()[0]
-        return getattr(dev, "num_cores", None) or 1
+        if dev.platform == "tpu":
+            return getattr(dev, "num_cores", None) or 1
+        import os
+
+        return os.cpu_count() or 1
     except Exception:
         return 0
 
@@ -193,6 +200,7 @@ def benchmark_algs(cmd_args, cmd_data, bench_data: BenchmarkData) -> Status:
                         res.subst_name = cmd_args.subst_name
                         res.gapo_cost = cmd_args.gapo_cost
                         res.gape_cost = cmd_args.gape_cost
+                        res.align_kind = cmd_args.align_kind
                         res.warmup_runs = cmd_args.warmup_per_align
                         res.sample_runs = cmd_args.samples_per_align
                         res.last_run_idx = i_r
@@ -200,8 +208,17 @@ def benchmark_algs(cmd_args, cmd_data, bench_data: BenchmarkData) -> Status:
 
                         try:
                             res.stat = alg.align(alg_params, nw, res)
-                        except Exception:
+                        except Exception as e:
                             res.stat = Status.errorKernelFailure
+                            res.error_msg = (
+                                f"{type(e).__name__}: {e}"
+                            )[:300]
+                            print(
+                                f"error: {alg_name} align failed on pair "
+                                f"({res.seqY_id}, {res.seqX_id}): "
+                                f"{res.error_msg}",
+                                file=sys.stderr,
+                            )
                         if res.stat != Status.success:
                             res.errstep = (
                                 1 if res.stat == Status.errorInvalidValue else 2

@@ -271,12 +271,16 @@ class AlgResult:
     errstep: int = 0  # 0 ok; 1 params; 2 align; 3 hash; 4 trace; 5 verify
     stat: Status = Status.success
     device_stat: int = 0  # ref: cudaStat; 0 on the TPU path
+    # Exception class + message when an align/hash/trace raised (extension
+    # column; the reference only records the raw cudaError_t code).
+    error_msg: str = ""
 
     seqY_len: int = 0
     seqX_len: int = 0
     subst_name: str = ""
     gapo_cost: int = 0
     gape_cost: int = 0
+    align_kind: str = "nw_lg"  # AlignSpec name (extension column)
     warmup_runs: int = 0
     sample_runs: int = 0
     last_run_idx: int = 0

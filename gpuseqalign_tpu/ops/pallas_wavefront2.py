@@ -623,8 +623,9 @@ def pallas_mlsp_batch_v2(subst, Ys, Xs, gapo, gape, adjrs, adjcs, *,
     Ys: (K, 1+rows_p), Xs: (K, 1+cols_p) with header elements;
     adjrs/adjcs: (K,) true dims (traced). Returns a dict of per-pair
     arrays: hrow (K, B, prev_len), hcol (K, B, CT, SUB, 128), cost
-    (K, SUB, 128) [max = H[adjr-1, adjc-1]], plus frow/ecol (affine) and
-    bv/bc (SW) like pallas_mlsp_v2.
+    (K, B, SUB, 128) per-BLOCK [flatten the (B, SUB, 128) axes and take
+    max to get H[adjr-1, adjc-1], as parallel/batch.py does], plus
+    frow/ecol (affine) and bv/bc (SW) like pallas_mlsp_v2 but per-block.
     """
     K = Ys.shape[0]
     rows_p = Ys.shape[1] - 1
@@ -759,6 +760,17 @@ def v2_params_ok(tile_h: int, tile_w: int, rows: int, cols: int) -> bool:
     )
 
 
+def _is_compile_resource_error(e: Exception) -> bool:
+    """True for Mosaic/XLA compile-time resource exhaustion (register/VMEM
+    spill) — the only failure mode the K-backoff retry should absorb."""
+    msg = f"{type(e).__name__}: {e}".lower()
+    markers = (
+        "resource_exhausted", "resource exhausted", "vmem", "mosaic",
+        "register allocation", "spill", "scoped", "exceeds", "out of memory",
+    )
+    return any(m in msg for m in markers)
+
+
 K_MAX_DEFAULT = {
     # Measured on v5e at 23728^2, R=TW=2048. Above these the per-chain
     # carry state spills registers and Mosaic fails to compile (scoped
@@ -829,11 +841,20 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
             )
             jax.block_until_ready(out_d)
             break
-        except Exception:
+        except Exception as e:
             # Chain-state register spills can fail compilation for large
-            # K x SUB combinations; back off and retry.
-            if K == 1:
+            # K x SUB combinations; back off and retry — but ONLY for
+            # compile-time resource exhaustion. Genuine kernel/logic
+            # errors must surface, not silently degrade to K=1.
+            if K == 1 or not _is_compile_resource_error(e):
                 raise
+            import warnings
+
+            warnings.warn(
+                f"pallas_mlsp_v2 K={K} failed to compile "
+                f"({type(e).__name__}); retrying with fewer chains",
+                RuntimeWarning,
+            )
             K = choose_k(trows, K - 1)
             trows_p = _cdiv(trows, K) * K
             rows_p = trows_p * R
@@ -851,14 +872,6 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     g = nw.gapo_cost
     ge = nw.gape_cost
     width = cols_p + 1
-
-    def rows_from(hrow, hdr0, col0_fn):
-        m = np.empty((trows, width), np.int32)
-        m[0] = hdr0
-        if trows > 1:
-            m[1:, 0] = col0_fn(np.arange(1, trows, dtype=np.int64) * R)
-            m[1:, 1:] = hrow[: trows - 1, 1: width]
-        return m
 
     jw = np.arange(width, dtype=np.int64)
     if is_sw:
@@ -906,11 +919,9 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
 
     best = None
     if is_sw:
-        SUB = R // 128
         bv = out["bv"].reshape(trows_p, R)[:trows]
         bc = out["bc"].reshape(trows_p, R)[:trows]
         iv = 1 + np.arange(trows * R).reshape(trows, R)
-        jv = bc - (np.arange(R) % R).reshape(1, R) + 1
         # lane index within block is i2d = 0..R-1
         i2d = np.arange(R).reshape(1, R)
         jv = bc - i2d + 1

@@ -249,6 +249,10 @@ def _pallas_batch_scores(
     best_i = np.zeros(b, np.int32)
     best_j = np.zeros(b, np.int32)
     lane = np.arange(rows_p) % R
+    # Degenerate pairs (an empty sequence): the in-kernel bottom-right
+    # capture never hits a header-row/col cell, so compute those costs
+    # host-side from the header formulas instead.
+    degenerate = (adjrs < 2) | (adjcs < 2)
     for g0 in range(0, b_pad, K):
         out = pallas_mlsp_batch_v2(
             subst_j,
@@ -266,6 +270,15 @@ def _pallas_batch_scores(
             idx = g0 + k
             if idx >= b:
                 break
+            if degenerate[idx]:
+                if is_sw:
+                    costs[idx] = 0
+                elif spec.gap.value == "affine":
+                    n_gap = int(adjrs[idx] + adjcs[idx]) - 2
+                    costs[idx] = 0 if n_gap == 0 else gapo + n_gap * gape
+                else:
+                    costs[idx] = (int(adjrs[idx] + adjcs[idx]) - 2) * gapo
+                continue
             if is_sw:
                 v = bv[k]
                 if v.max(initial=0) <= 0:
@@ -312,6 +325,13 @@ def align_pairs_batched(
     On a single TPU without a mesh, buckets of large pairs route to the
     multi-chain Pallas kernel (pairs-as-chains, zero pipeline bubbles).
     """
+    if spec.gap == GapKind.AFFINE and (gapo > 0 or gape > 0):
+        # Same domain guard as align_pallas_mlsp / the oracle: the
+        # vectorized Gotoh construction requires non-positive gap costs.
+        raise ValueError(
+            "affine specs require gapo <= 0 and gape <= 0 "
+            f"(got gapo={gapo}, gape={gape})"
+        )
     n = len(pairs)
     costs = np.zeros(n, np.int32)
     best_i = np.zeros(n, np.int32)

@@ -31,8 +31,14 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = "pairs") -> NamedSharding:
-    """Shard the leading (batch) axis across the mesh; replicate the rest."""
+def batch_sharding(mesh: Mesh, axis_name: Optional[str] = None) -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh; replicate the rest.
+
+    ``axis_name`` defaults to the mesh's own first axis so meshes created
+    with any axis name (e.g. "sp") shard correctly.
+    """
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
     return NamedSharding(mesh, P(axis_name))
 
 

@@ -13,9 +13,65 @@ from typing import TextIO
 
 import numpy as np
 
-from ..core.types import AlgInput, AlgResult, AlignKind, GapKind, Status
+from ..core.types import AlgInput, AlgResult, AlignKind, GapKind, NEG_INF_I32, Status
 from ..core.hashing import djb2_array
 from ..models import oracle as _oracle
+
+
+class _LazyE:
+    """E[i, j] reconstructed on demand from H row i — no O(n^2) refill.
+
+    Valid because gapo <= 0 (the guarded affine domain): reopening a gap
+    never beats extending one, so
+        E[i, j] = max_{0 <= k < j} (H[i, k] + gapo + (j - k) * gape),
+    which is row-local in H. One cummax per distinct row queried (the
+    traceback's row index is monotone, so a one-slot cache suffices).
+    Arithmetic is int32, identical to the oracle's row fill.
+    """
+
+    def __init__(self, H: np.ndarray, gapo: int, gape: int):
+        self.H = H
+        self.go = np.int32(gapo)
+        self.offs = (
+            np.arange(H.shape[1], dtype=np.int32) * np.int32(gape)
+        ).astype(np.int32)
+        self._i = -1
+        self._m: np.ndarray | None = None
+
+    def __getitem__(self, idx):
+        i, j = idx
+        if j == 0:
+            return np.int32(NEG_INF_I32)
+        if i != self._i:
+            m = (self.H[i] + self.go - self.offs).astype(np.int32)
+            np.maximum.accumulate(m, out=m)
+            self._m = m
+            self._i = i
+        return np.int32(self._m[j - 1] + self.offs[j])
+
+
+class _LazyF:
+    """F[i, j] reconstructed on demand from H column j (see _LazyE)."""
+
+    def __init__(self, H: np.ndarray, gapo: int, gape: int):
+        self.H = H
+        self.go = np.int32(gapo)
+        self.offs = (
+            np.arange(H.shape[0], dtype=np.int32) * np.int32(gape)
+        ).astype(np.int32)
+        self._j = -1
+        self._m: np.ndarray | None = None
+
+    def __getitem__(self, idx):
+        i, j = idx
+        if i == 0:
+            return np.int32(NEG_INF_I32)
+        if j != self._j:
+            m = (self.H[:, j] + self.go - self.offs).astype(np.int32)
+            np.maximum.accumulate(m, out=m)
+            self._m = m
+            self._j = j
+        return np.int32(self._m[i - 1] + self.offs[i])
 
 
 def trace_plain(nw: AlgInput, res: AlgResult, calc_debug_trace: bool) -> Status:
@@ -30,12 +86,11 @@ def trace_plain(nw: AlgInput, res: AlgResult, calc_debug_trace: bool) -> Status:
     if nw.spec.kind == AlignKind.SW:
         mats["best"] = np.array([nw.best_i, nw.best_j], dtype=np.int64)
     if nw.spec.gap == GapKind.AFFINE:
-        # Rebuild E/F from the sequences — the kernels only keep H dense.
-        full = _oracle.oracle_align_dense(
-            nw.spec, nw.subst, nw.seqY, nw.seqX, nw.gapo_cost, nw.gape_cost
-        )
-        mats["E"] = full["E"]
-        mats["F"] = full["F"]
+        # E/F views reconstructed lazily from H during the walk — the
+        # kernels only keep H dense, and a full oracle refill here would
+        # be a second O(n^2) pass.
+        mats["E"] = _LazyE(nw.score, nw.gapo_cost, nw.gape_cost)
+        mats["F"] = _LazyF(nw.score, nw.gapo_cost, nw.gape_cost)
 
     use_native = (
         nw.spec.kind == AlignKind.NW

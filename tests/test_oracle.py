@@ -147,3 +147,23 @@ def test_hash_dense_includes_headers(blosum62, rng):
     from gpuseqalign_tpu.core.hashing import djb2_ints
 
     assert oracle_hash_dense(H) == djb2_ints(H.ravel().tolist())
+
+
+def test_lazy_ef_views_match_dense(rng, blosum62):
+    """trace/plain.py's lazy E/F reconstructions (used by the dense affine
+    traceback so it needs no O(n^2) second fill) must equal the oracle's
+    dense E/F on every interior cell."""
+    from gpuseqalign_tpu.trace.plain import _LazyE, _LazyF
+    from conftest import random_seq
+
+    for spec_name in ("nw_ag", "sw_ag"):
+        spec = AlignSpec.from_name(spec_name)
+        y = random_seq(rng, 47)
+        x = random_seq(rng, 83)
+        mats = oracle_align_dense(spec, blosum62, y, x, -11, -2)
+        E = _LazyE(mats["H"], -11, -2)
+        F = _LazyF(mats["H"], -11, -2)
+        for i in range(1, len(y)):
+            for j in range(1, len(x)):
+                assert E[i, j] == mats["E"][i, j], (spec_name, "E", i, j)
+                assert F[i, j] == mats["F"][i, j], (spec_name, "F", i, j)
