@@ -57,17 +57,36 @@ def _cdiv(a: int, b: int) -> int:
 def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                  TW: int, OFF: int, prev_len: int, B: int,
                  kind: str = "nw", gap: str = "linear",
-                 batch: bool = False, capture_cost: bool = False):
+                 batch: bool = False, capture_cost: bool = False,
+                 banded: bool = False):
+    """Kernel factory shared by the full-matrix, batched and BANDED forms.
+
+    ``banded`` (the per-device compute of the multi-chip giant engine,
+    ops/pallas_banded.py) swaps every analytic edge value for an input:
+    the predecessor row(s) come from ``previn``/``prevFin``, the band's
+    left-edge header column from ``hcolin``/``dcolin``/``ecolin`` (the ICI
+    halo), and the per-chain output-row j==0 seeds from SMEM. The grid is
+    then (CH,) — one pass of K row blocks over one column band.
+    """
     ninf = NEG_INF_I32
     n_win = W // 128
     q = TW // W  # hcol out-blocks advance every q chunks
     offw = OFF // W
     is_sw = kind == "sw"
     affine = gap == "affine"
+    assert not (banded and (batch or capture_cost))
 
     def kernel(*refs):
         g_ref = refs[0]
         pos = 1
+        if banded:
+            previn = refs[pos]; pos += 1
+            if affine:
+                prevFin = refs[pos]; pos += 1
+            hcolin = refs[pos]; pos += 1
+            dcolin = refs[pos]; pos += 1
+            if affine:
+                ecolin = refs[pos]; pos += 1
         planes_refs = refs[pos: pos + K]; pos += K
         xw_refs = refs[pos: pos + K]; pos += K
         hrow_refs = refs[pos: pos + K]; pos += K
@@ -99,12 +118,21 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
         if capture_cost:
             costs_s = refs[pos]; pos += 1
 
-        bb = pl.program_id(0)
-        ch = pl.program_id(1)
+        if banded:
+            bb = jnp.int32(0)
+            ch = pl.program_id(0)
+        else:
+            bb = pl.program_id(0)
+            ch = pl.program_id(1)
         g = g_ref[0, 0]
         ge = g_ref[0, 1]
+        # In banded mode these are BAND-LOCAL dims: adjr_loc = adjr - row0
+        # and adjc_loc = adjc - c0, so the iok/uok masks below keep the
+        # blk = k (bb = 0) formulas unchanged.
         adjrs = [g_ref[0, 2 + k] for k in range(K)]
         adjcs = [g_ref[0, 2 + K + k] for k in range(K)]
+        if banded:
+            seeds = [g_ref[0, 2 + 2 * K + k] for k in range(K)]
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
         l_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
         l_row = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -112,8 +140,20 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
 
         # Per-chain header-value vectors (hoisted out of the hot loop).
         # hdrH = H[i, 0]; dhdr = H[i-1, 0]; ehdr = E at u == 1.
+        # Banded: the "header column" is the band's left edge, fed by the
+        # ICI halo — hdrH = H[i, c0], dhdr = H[i-1, c0], and ehdr follows
+        # the E recurrence from the halo's (H, E) pair:
+        # E[i, c0+1] = max(E[i, c0], H[i, c0] + g) + ge.
         hdrHs, dhdrs, ehdrs = [], [], []
         for k in range(K):
+            if banded:
+                hdrHs.append(hcolin[k])
+                dhdrs.append(dcolin[k])
+                if affine:
+                    ehdrs.append(
+                        jnp.maximum(ecolin[k], hcolin[k] + g) + ge
+                    )
+                continue
             blk0 = bb if batch else bb * K + k
             io = 1 + blk0 * R + i2d
             if is_sw:
@@ -134,10 +174,17 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
         def _init():
             @pl.when(bb == 0)
             def _():
-                # Global header row: in echelon mode only chain K-1's
+                # Predecessor row: in echelon mode only chain K-1's
                 # buffer (chain 0 of pass 0 reads it as its predecessor);
                 # in batch mode every chain is its own pair and starts
-                # from the header row.
+                # from the header row. Banded mode takes the previous
+                # pass's output rows as inputs instead of the analytic
+                # header row.
+                if banded:
+                    prevb[K - 1][0:1, :] = previn[0:1, :]
+                    if affine:
+                        prevf[K - 1][0:1, :] = prevFin[0:1, :]
+                    return
                 jidx = jax.lax.broadcasted_iota(jnp.int32, (1, prev_len), 1)
                 hdr_targets = range(K) if batch else (K - 1,)
                 for kk in hdr_targets:
@@ -160,14 +207,18 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                 shps[k] = jnp.full((SUB, 128), ninf, jnp.int32)
                 xds[k] = jnp.zeros((SUB, 128), jnp.int32)
                 accs[k] = jnp.full((SUB, 128), ninf, jnp.int32)
-                # prow window accumulator; j == 0 header element seeded.
-                blk0 = bb if batch else bb * K + k
-                if is_sw:
-                    seed = jnp.int32(0)
-                elif affine:
-                    seed = g + ((blk0 + 1) * R) * ge
+                # prow window accumulator; j == 0 header element seeded
+                # (banded: H[(blk+1)R, c0] from the halo, via SMEM).
+                if banded:
+                    seed = seeds[k]
                 else:
-                    seed = ((blk0 + 1) * R) * g
+                    blk0 = bb if batch else bb * K + k
+                    if is_sw:
+                        seed = jnp.int32(0)
+                    elif affine:
+                        seed = g + ((blk0 + 1) * R) * ge
+                    else:
+                        seed = ((blk0 + 1) * R) * g
                 prows[k] = jnp.where(l_row == 0, seed, jnp.int32(ninf))
                 if affine:
                     e1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)

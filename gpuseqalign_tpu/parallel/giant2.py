@@ -1,20 +1,25 @@
-"""Giant-pair engine v2: column bands x Pallas banded kernel.
+"""Giant-pair engine v2: column bands x Pallas banded kernel, ALL specs.
 
 Same decomposition as parallel/giant.py (one giant pair's columns split
 into one band per chip; row blocks advance in an echelon pipeline; the
-only cross-chip traffic is the band's right-edge header column over ICI
-via lax.ppermute) — but the per-device block fill is the full-speed v2
-Pallas kernel (ops/pallas_banded.py) instead of the XLA row-scan, so each
-chip contributes ~its single-pair v2 throughput.
+only cross-chip traffic is the band's right-edge header column(s) over
+ICI via lax.ppermute) — but the per-device block fill is the full-speed
+v2 Pallas kernel (ops/pallas_banded.py) instead of the XLA row-scan, so
+each chip contributes ~its single-pair v2 throughput.
 
 Pipeline: pass p covers K row blocks; at step t device k runs pass t - k.
-The halo message per step is (K*R + 1) int32 values: H at the band edge
-for the pass's rows plus the top corner. NW linear-gap (the reference's
-mlsp surface, ref: src/nwalign_gpu7_mlsp_diagdiag.cu:247-285 lifted across
-chips).
+The halo message per step is (K*R + 1) int32 H values (plus K*R E values
+for affine specs — a tile's left-column dependency set under Gotoh is the
+(H, E) pair, see core/types.py AlignSpec). NW linear-gap is the
+reference's mlsp surface (ref: src/nwalign_gpu7_mlsp_diagdiag.cu:247-285
+lifted across chips); NW_AG / SW_LG / SW_AG are capability extensions
+verified against models/oracle.py. SW's global argmax is reduced from the
+per-lane in-kernel bv/bc captures on host after the gather, with the
+reference's row-major-first tie order.
 
-Outputs are the standard mlsp sparse layout, so sparse traceback/hash
-(trace/sparse.py) verify bit-exactly against the CPU oracle.
+Outputs are the standard mlsp sparse layout (plus F-row / E-col header
+mats for affine), so sparse traceback/hash (trace/sparse.py) verify
+bit-exactly against the CPU oracle.
 """
 
 from __future__ import annotations
@@ -35,9 +40,10 @@ from ..core.types import (
     AlgResult,
     AlignKind,
     GapKind,
+    NEG_INF_I32,
     Status,
 )
-from ..ops.pallas_banded import banded_pass_nw_lg
+from ..ops.pallas_banded import banded_pass
 from ..ops.pallas_wavefront2 import _cdiv, _pack_planes
 
 
@@ -45,23 +51,26 @@ from ..ops.pallas_wavefront2 import _cdiv, _pack_planes
     jax.jit,
     static_argnames=(
         "mesh", "axis", "R", "W", "TW", "K", "band_cols", "n_pass",
-        "interpret",
+        "kind", "gap", "interpret",
     ),
 )
-def giant2_fill_nw_lg(subst, y, x_nohdr, gapo, *, mesh: Mesh,
-                      axis: str = "sp", R: int, W: int, TW: int, K: int,
-                      band_cols: int, n_pass: int,
-                      interpret: bool = False):
-    """Distributed sparse fill.
+def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
+                axis: str = "sp", R: int, W: int, TW: int, K: int,
+                band_cols: int, n_pass: int, kind: str = "nw",
+                gap: str = "linear", interpret: bool = False):
+    """Distributed sparse fill, any spec.
 
     y: (1 + n_pass*K*R,) with header element, replicated.
     x_nohdr: (D * band_cols,) letters without header (sharded into bands).
+    adjr/adjc: true dims incl. header (traced; SW masking).
 
-    Returns:
-      hrows: (n_pass*K, D, prev_len)  per-band rows (b+1)*R, j=0 at c0
-      hcols: (n_pass*K, D, jtE+1, R)  per-band header columns at TW steps
-      (jtE = band_cols // TW; entry jl holds column c0 + jl*TW; jl = jtE is
-      the band's right edge.)
+    Returns a dict of gathered per-band streams:
+      hrows: (B, D, prev_len)   per-band rows (b+1)*R, j=0 at c0
+      hcols: (B, D, jtE+1, R)   per-band header cols at TW steps
+      frows/ecols (affine):     F rows / E cols, same shapes
+      bv/bc (SW):               (B, D, R) per-lane best value / local step
+    (B = n_pass*K; jtE = band_cols // TW; hcols[..., jl, :] holds column
+    c0 + jl*TW; jl = jtE is the band's right edge.)
     """
     D = mesh.devices.size
     SUB = R // 128
@@ -70,85 +79,148 @@ def giant2_fill_nw_lg(subst, y, x_nohdr, gapo, *, mesh: Mesh,
     jtE = band_cols // TW
     B = n_pass * K
     g = gapo
+    ge = gape
+    affine = gap == "affine"
+    is_sw = kind == "sw"
+    ninf = jnp.int32(NEG_INF_I32)
 
     planes = _pack_planes(subst, y, B, R)  # (B, 8, SUB, 128), replicated
 
-    def device_fn(subst_planes, xb, gsc):
+    def device_fn(subst_planes, xb, gsc, gesc, adjr, adjc):
         k = lax.axis_index(axis)
-        g = gsc
+        g, ge = gsc, gesc
         c0 = k * band_cols
         xb = xb[0]  # (band_cols,)
         xpad = jnp.zeros(NSpad, jnp.int32).at[:band_cols].set(xb)
         xwin = xpad.reshape(NSpad // W, W // 128, 128)
 
-        prev0 = (c0 + jnp.arange(prev_len, dtype=jnp.int32)) * g
-        msg0 = jnp.zeros(K * R + 1, jnp.int32)
+        # H[0, c0 + j]: the spec's header row at this band's columns.
+        jj = c0 + jnp.arange(prev_len, dtype=jnp.int32)
+        if is_sw:
+            prev0 = jnp.zeros(prev_len, jnp.int32)
+        elif affine:
+            prev0 = jnp.where(jj == 0, 0, g + jj * ge)
+        else:
+            prev0 = jj * g
+        prevF0 = jnp.full(prev_len, ninf, jnp.int32) if affine else None
+
+        msg_len = K * R + 1 + (K * R if affine else 0)
+        msg0 = jnp.zeros(msg_len, jnp.int32)
         perm = [(s, (s + 1) % D) for s in range(D)]
 
         def step(carry, t):
-            prev_row, msg = carry
+            prev_row, prevF_row, msg = carry
             halo = lax.ppermute(msg, axis, perm)
             p = t - k
             active = (p >= 0) & (p < n_pass)
             pc = jnp.clip(p, 0, n_pass - 1)
             row0 = pc * K * R
-            hdr_halo = (row0 + jnp.arange(K * R + 1, dtype=jnp.int32)) * g
-            halo = jnp.where(k == 0, hdr_halo, halo)
+            # Device 0's left border is the true DP header column.
+            ii = row0 + jnp.arange(K * R + 1, dtype=jnp.int32)
+            if is_sw:
+                hdrH = jnp.zeros(K * R + 1, jnp.int32)
+            elif affine:
+                hdrH = jnp.where(ii == 0, 0, g + ii * ge)
+            else:
+                hdrH = ii * g
+            haloH = jnp.where(k == 0, hdrH, halo[: K * R + 1])
+            haloE = None
+            if affine:
+                # E[i, 0] is undefined (-inf) at the true header column.
+                haloE = jnp.where(
+                    k == 0,
+                    jnp.full(K * R, ninf, jnp.int32),
+                    halo[K * R + 1:],
+                )
 
             planes_p = lax.dynamic_slice(
                 subst_planes, (pc * K, 0, 0, 0), (K, 8, SUB, 128)
             )
-            hrow, hcol = banded_pass_nw_lg(
-                planes_p, xwin, g, prev_row, halo,
-                R=R, W=W, TW=TW, K=K, band_cols=band_cols,
-                interpret=interpret,
+            out = banded_pass(
+                planes_p, xwin, g, ge, prev_row, prevF_row, haloH, haloE,
+                adjr - row0, adjc - c0,
+                R=R, W=W, TW=TW, K=K, band_cols=band_cols, kind=kind,
+                gap=gap, interpret=interpret,
             )
             edge_top = prev_row[band_cols]
-            right = hcol[:, jtE].reshape(K * R)
-            new_msg = jnp.concatenate([edge_top[None], right])
-            new_prev = hrow[K - 1]
-            prev_row = jnp.where(active, new_prev, prev_row)
+            rightH = out["hcol"][:, jtE].reshape(K * R)
+            parts = [edge_top[None], rightH]
+            if affine:
+                parts.append(out["ecol"][:, jtE].reshape(K * R))
+            new_msg = jnp.concatenate(parts)
+            prev_row = jnp.where(active, out["hrow"][K - 1], prev_row)
+            if affine:
+                prevF_row = jnp.where(
+                    active, out["frow"][K - 1], prevF_row
+                )
             msg = jnp.where(active, new_msg, msg)
-            hc = hcol[:, : jtE + 1].reshape(K, jtE + 1, R)
-            return (prev_row, msg), (hrow, hc)
+
+            ys = {
+                "hrows": out["hrow"],
+                "hcols": out["hcol"][:, : jtE + 1].reshape(K, jtE + 1, R),
+            }
+            if affine:
+                ys["frows"] = out["frow"]
+                ys["ecols"] = out["ecol"][:, : jtE + 1].reshape(
+                    K, jtE + 1, R
+                )
+            if is_sw:
+                ys["bv"] = out["bv"].reshape(K, R)
+                ys["bc"] = out["bc"].reshape(K, R)
+            return (prev_row, prevF_row, msg), ys
 
         steps = n_pass + D - 1
-        (_, _), (hrows_t, hcols_t) = lax.scan(
-            step, (prev0, msg0), jnp.arange(steps, dtype=jnp.int32)
+        _, ys_t = lax.scan(
+            step, (prev0, prevF0, msg0), jnp.arange(steps, dtype=jnp.int32)
         )
+
         # Device k's pass p lives at step t = p + k.
-        hrows = lax.dynamic_slice_in_dim(hrows_t, k, n_pass)
-        hcols = lax.dynamic_slice_in_dim(hcols_t, k, n_pass)
-        hrows = hrows.reshape(B, 1, prev_len)
-        hcols = hcols.reshape(B, 1, jtE + 1, R)
-        return hrows, hcols
+        def pick(a):
+            a = lax.dynamic_slice_in_dim(a, k, n_pass)
+            return a.reshape((B, 1) + a.shape[2:])
+
+        return {name: pick(a) for name, a in ys_t.items()}
+
+    out_spec = {"hrows": P(None, axis), "hcols": P(None, axis)}
+    if affine:
+        out_spec["frows"] = P(None, axis)
+        out_spec["ecols"] = P(None, axis)
+    if is_sw:
+        out_spec["bv"] = P(None, axis)
+        out_spec["bc"] = P(None, axis)
 
     fn = shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(P(), P(None, axis), P()),
-        out_specs=(P(None, axis), P(None, axis)),
+        in_specs=(P(), P(None, axis), P(), P(), P(), P()),
+        out_specs=out_spec,
         check_vma=False,
     )
-    hrows, hcols = fn(planes, x_nohdr.reshape(1, -1), g)
-    return hrows, hcols  # (B, D, prev_len), (B, D, jtE+1, R)
+    return fn(
+        planes, x_nohdr.reshape(1, -1), g, ge,
+        jnp.asarray(adjr, jnp.int32), jnp.asarray(adjc, jnp.int32),
+    )
 
 
-def align_giant2_nw_lg(
+def align_giant2(
     pr: AlgParams,
     nw: AlgInput,
     res: AlgResult,
     mesh: Optional[Mesh] = None,
     interpret: bool = False,
 ) -> Status:
-    """Registry-shaped align fn for the v2 giant engine: pads, runs the
-    distributed fill, and massages outputs into the reference sparse
-    layout so sparse traceback/hash/align_cost run unchanged."""
+    """Registry-shaped align fn for the v2 giant engine, any spec: pads,
+    runs the distributed fill, and massages outputs into the reference
+    sparse layout (plus the affine F/E header mats and the SW argmax) so
+    sparse traceback/hash/align_cost run unchanged."""
     from ..ops.pallas_kernels import _mlsp_store
     from .mesh import make_mesh
 
-    if not (nw.spec.kind == AlignKind.NW and nw.spec.gap == GapKind.LINEAR):
-        return Status.errorInvalidValue
+    spec = nw.spec
+    affine = spec.gap == GapKind.AFFINE
+    is_sw = spec.kind == AlignKind.SW
+    if affine and (nw.gapo_cost > 0 or nw.gape_cost > 0):
+        return Status.errorInvalidValue  # vectorized Gotoh needs costs <= 0
     if mesh is None:
         mesh = make_mesh(axis_name="sp")
     D = int(mesh.devices.size)
@@ -178,45 +250,118 @@ def align_giant2_nw_lg(
     jax.block_until_ready((subst_d, y_d, x_d))
     sw.lap("align.cpy_dev")
 
-    hrows_d, hcols_d = giant2_fill_nw_lg(
-        subst_d, y_d, x_d, jnp.int32(nw.gapo_cost),
+    out_d = giant2_fill(
+        subst_d, y_d, x_d, jnp.int32(nw.gapo_cost), jnp.int32(nw.gape_cost),
+        nw.adjrows, nw.adjcols,
         mesh=mesh, R=R, W=min(512, TW), TW=TW, K=K,
-        band_cols=band_cols, n_pass=n_pass, interpret=interpret,
+        band_cols=band_cols, n_pass=n_pass,
+        kind=spec.kind.value, gap=spec.gap.value, interpret=interpret,
     )
-    jax.block_until_ready((hrows_d, hcols_d))
+    jax.block_until_ready(out_d)
     sw.lap("align.calc")
 
-    hrows_g = np.asarray(jax.device_get(hrows_d))  # (B, D, prev_len)
-    hcols_g = np.asarray(jax.device_get(hcols_d))  # (B, D, jtE+1, R)
+    out = {kk: np.asarray(jax.device_get(v)) for kk, v in out_d.items()}
     sw.lap("align.cpy_host")
-    nw.note_device_alloc(int(hrows_g.nbytes + hcols_g.nbytes))
+    nw.note_device_alloc(sum(int(v.nbytes) for v in out.values()))
 
     B = n_pass * K
     g = nw.gapo_cost
+    ge = nw.gape_cost
+    ninf = np.int32(NEG_INF_I32)
     width = 1 + cols_p
     tcols = cols_p // TW
 
-    # hrows[it]: full row it*R incl. header col element.
-    hrows = np.empty((B, width), np.int32)
-    hrows[0] = (np.arange(width, dtype=np.int64) * g).astype(np.int32)
-    if B > 1:
-        hrows[1:, 0] = (
-            np.arange(1, B, dtype=np.int64) * R * g
-        ).astype(np.int32)
-        for d in range(D):
-            hrows[1:, 1 + d * band_cols: 1 + (d + 1) * band_cols] = \
-                hrows_g[: B - 1, d, 1: band_cols + 1]
+    # hrows[it]: full row it*R incl. header col element; band d's stream
+    # covers global columns 1 + d*band_cols .. (d+1)*band_cols.
+    def rows_from(stream, hdr0, col0):
+        m = np.empty((B, width), np.int32)
+        m[0] = hdr0
+        if B > 1:
+            m[1:, 0] = col0
+            for d in range(D):
+                m[1:, 1 + d * band_cols: 1 + (d + 1) * band_cols] = \
+                    stream[: B - 1, d, 1: band_cols + 1]
+        return m
 
-    # hcols[it, r, jt]: column jt*TW of block it.
-    hcols = np.empty((B, R, tcols), np.int32)
-    hcols[:, :, 0] = (
-        np.arange(1, rows_p + 1, dtype=np.int64) * g
-    ).astype(np.int32).reshape(B, R)
-    for jt in range(1, tcols):
-        d, jl = divmod(jt, jtE)
-        if jl == 0:
-            d, jl = d - 1, jtE
-        hcols[:, :, jt] = hcols_g[:, d, jl, :]
+    jw = np.arange(width, dtype=np.int64)
+    iw = np.arange(1, B, dtype=np.int64) * R
+    if is_sw:
+        hdr0 = np.zeros(width, np.int32)
+        col0 = np.zeros(B - 1, np.int32)
+    elif affine:
+        hdr0 = (g + jw * ge).astype(np.int32)
+        hdr0[0] = 0
+        col0 = (g + iw * ge).astype(np.int32)
+    else:
+        hdr0 = (jw * g).astype(np.int32)
+        col0 = (iw * g).astype(np.int32)
+    hrows = rows_from(out["hrows"], hdr0, col0)
 
-    stat = _mlsp_store(nw, res, hrows, hcols, R, TW, B, tcols)
+    # hcols[it, r, jt]: column jt*TW of block it; global tile column jt
+    # maps to band jt // jtE's local capture jt % jtE (jl == 0 entries are
+    # the previous band's right edge).
+    def cols_from(stream, first_col):
+        m = np.empty((B, R, tcols), np.int32)
+        m[:, :, 0] = first_col
+        for jt in range(1, tcols):
+            d, jl = divmod(jt, jtE)
+            if jl == 0:
+                d, jl = d - 1, jtE
+            m[:, :, jt] = stream[:, d, jl, :]
+        return m
+
+    ii = np.arange(1, rows_p + 1, dtype=np.int64).reshape(B, R)
+    if is_sw:
+        col0_h = np.zeros((B, R), np.int32)
+    elif affine:
+        col0_h = (g + ii * ge).astype(np.int32)
+    else:
+        col0_h = (ii * g).astype(np.int32)
+    hcols = cols_from(out["hcols"], col0_h)
+
+    frows = ecols = None
+    if affine:
+        frows = rows_from(out["frows"], np.full(width, ninf, np.int32),
+                          np.full(B - 1, ninf, np.int32))
+        frows[:, 0] = ninf
+        ecols = cols_from(out["ecols"], np.full((B, R), ninf, np.int32))
+
+    best = None
+    if is_sw:
+        bv = out["bv"]  # (B, D, R)
+        bc = out["bc"]
+        if bv.max(initial=0) <= 0:
+            best = np.array([0, 0, 0], np.int32)
+        else:
+            lane = np.arange(R).reshape(1, 1, R)
+            iv = np.broadcast_to(
+                (np.arange(B).reshape(B, 1, 1)) * R + lane + 1, bv.shape
+            )
+            jv = (
+                np.arange(D).reshape(1, D, 1) * band_cols
+                + bc - lane + 1
+            )
+            order = np.lexsort((jv.ravel(), iv.ravel(), -bv.ravel()))
+            b0 = order[0]
+            best = np.array(
+                [bv.ravel()[b0], iv.ravel()[b0], jv.ravel()[b0]], np.int32
+            )
+
+    stat = _mlsp_store(
+        nw, res, hrows, hcols, R, TW, B, tcols,
+        frows=frows, ecols=ecols, best=best,
+    )
     return stat
+
+
+def align_giant2_nw_lg(
+    pr: AlgParams,
+    nw: AlgInput,
+    res: AlgResult,
+    mesh: Optional[Mesh] = None,
+    interpret: bool = False,
+) -> Status:
+    """Back-compat wrapper: the original NW linear-gap-only surface."""
+    if not (nw.spec.kind == AlignKind.NW and nw.spec.gap == GapKind.LINEAR):
+        return Status.errorInvalidValue
+    return align_giant2(pr, nw, res, mesh=mesh, interpret=interpret)

@@ -21,6 +21,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the Pallas interpret-mode tests are
+# dominated by XLA CPU compile time (the unrolled 128-step kernel bodies
+# take 1-4 min each to compile); caching makes repeat suite runs fast.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_gpuseqalign_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

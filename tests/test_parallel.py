@@ -127,35 +127,56 @@ class TestGiant:
 
 
 class TestGiant2:
-    def test_banded_v2_matches_oracle(self, rng, blosum62):
-        """Pallas-banded giant engine (interpret) on a 4-device mesh:
-        cost + sparse trace + hash bit-exact vs the dense oracle."""
-        from gpuseqalign_tpu.parallel.giant2 import align_giant2_nw_lg
+    def _run(self, blosum62, spec_name, y, x, mesh, params=None):
+        """Run the banded giant engine (interpret) and assert cost +
+        sparse trace + sparse hash bit-exact vs the dense oracle."""
+        from gpuseqalign_tpu.models.oracle import align_cost_of
+        from gpuseqalign_tpu.parallel.giant2 import align_giant2
 
-        mesh = make_mesh(4, axis_name="sp")
-        spec = AlignSpec.from_name("nw_lg")
-        y = random_seq(rng, 300)
-        x = random_seq(rng, 700)
+        spec = AlignSpec.from_name(spec_name)
+        gapo, gape = -11, -2
         nw = AlgInput()
         nw.subst = blosum62
         nw.substsz = blosum62.shape[0]
         nw.seqY, nw.seqX = y, x
         nw.adjrows, nw.adjcols = len(y), len(x)
-        nw.gapo_cost = -11
+        nw.gapo_cost = gapo
+        nw.gape_cost = gape
         nw.spec = spec
         res = AlgResult()
-        stat = align_giant2_nw_lg(
-            AlgParams({"tileBy": [128], "tileBx": [128], "kChains": [2]}),
+        stat = align_giant2(
+            AlgParams(params or
+                      {"tileBy": [128], "tileBx": [128], "kChains": [2]}),
             nw, res, mesh=mesh, interpret=True,
         )
         assert stat == Status.success
-        mats = oracle_align_dense(spec, blosum62, y, x, -11)
-        assert res.align_cost == int(mats["H"][-1, -1])
+        mats = oracle_align_dense(spec, blosum62, y, x, gapo, gape)
+        assert res.align_cost == align_cost_of(spec, mats)
         assert trace_sparse(nw, res, False) == Status.success
         transcript, thash, _ = oracle_trace_dense(
-            spec, mats, blosum62, y, x, -11
+            spec, mats, blosum62, y, x, gapo, gape
         )
         assert res.edit_trace == transcript
         assert res.trace_hash == thash
         assert hash_sparse(nw, res) == Status.success
         assert res.score_hash == oracle_hash_dense(mats["H"])
+
+    @pytest.mark.parametrize("spec_name", SPECS)
+    def test_banded_v2_matches_oracle(self, rng, blosum62, spec_name):
+        """Pallas-banded giant engine on a 2-device mesh, all four specs
+        (the ICI halo carries H for linear and (H, E) for affine).
+        300 rows with R=128, K=2 forces n_pass=2 (pass-to-pass H/F row
+        carry); 500 cols gives band_cols=256 > TW (the jl capture map)."""
+        mesh = make_mesh(2, axis_name="sp")
+        self._run(blosum62, spec_name, random_seq(rng, 300),
+                  random_seq(rng, 500), mesh)
+
+    @pytest.mark.parametrize("spec_name,rows,cols",
+                             [("nw_ag", 1, 1), ("sw_ag", 5, 300)])
+    def test_banded_v2_degenerate(self, rng, blosum62, spec_name, rows,
+                                  cols):
+        mesh = make_mesh(2, axis_name="sp")
+        self._run(blosum62, spec_name, random_seq(rng, rows),
+                  random_seq(rng, cols), mesh,
+                  params={"tileBy": [128], "tileBx": [128],
+                          "kChains": [1]})
