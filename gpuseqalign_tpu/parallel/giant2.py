@@ -196,10 +196,19 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
         out_specs=out_spec,
         check_vma=False,
     )
-    return fn(
+    out = fn(
         planes, x_nohdr.reshape(1, -1), g, ge,
         jnp.asarray(adjr, jnp.int32), jnp.asarray(adjc, jnp.int32),
     )
+    if jax.process_count() > 1:
+        # Multi-host: replicate the gathered streams (an all-gather over
+        # DCN/ICI) so every process can device_get the full result.
+        from jax.sharding import NamedSharding
+
+        rep = NamedSharding(mesh, P())
+        out = {kk: jax.lax.with_sharding_constraint(v, rep)
+               for kk, v in out.items()}
+    return out
 
 
 def align_giant2(
@@ -244,9 +253,21 @@ def align_giant2(
     x[: nw.adjcols] = nw.seqX
     sw.lap("align.alloc")
 
-    subst_d = jax.device_put(nw.subst)
-    y_d = jax.device_put(y)
-    x_d = jax.device_put(x[1:])
+    if jax.process_count() > 1:
+        # Multi-host: every process holds the same full inputs; convert
+        # them to replicated GLOBAL arrays over the (multi-process) mesh
+        # so the sharded fill can run across hosts.
+        from jax.experimental import multihost_utils
+
+        def put(a):
+            return multihost_utils.host_local_array_to_global_array(
+                a, mesh, P()
+            )
+    else:
+        put = jax.device_put
+    subst_d = put(np.asarray(nw.subst))
+    y_d = put(y)
+    x_d = put(x[1:])
     jax.block_until_ready((subst_d, y_d, x_d))
     sw.lap("align.cpy_dev")
 

@@ -110,3 +110,129 @@ def test_two_process_cluster(tmp_path, n_local_devices):
         for y, x in pairs
     ]
     assert outs[0]["costs"] == want
+
+
+GIANT_WORKER = r"""
+import json, os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gpuseqalign_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=2,
+    process_id=int(sys.argv[2]),
+)
+from gpuseqalign_tpu.core.types import (
+    AlgInput, AlgParams, AlgResult, AlignSpec, Status,
+)
+from gpuseqalign_tpu.parallel import align_giant2, make_mesh
+from gpuseqalign_tpu.trace.sparse import hash_sparse, trace_sparse
+
+rng = np.random.default_rng(33)
+subst = rng.integers(-4, 10, size=(25, 25)).astype(np.int32)
+def seq(n):
+    return np.concatenate(
+        [np.zeros(1, np.int32), rng.integers(0, 25, n, dtype=np.int32)]
+    )
+y, x = seq(130), seq(300)
+
+mesh = make_mesh(axis_name="sp")  # all 4 global devices (2 per process)
+nw = AlgInput()
+nw.subst = subst
+nw.substsz = 25
+nw.seqY, nw.seqX = y, x
+nw.adjrows, nw.adjcols = len(y), len(x)
+nw.gapo_cost = -11
+nw.gape_cost = -2
+nw.spec = AlignSpec.from_name("nw_ag")
+res = AlgResult()
+stat = align_giant2(
+    AlgParams({"tileBy": [128], "tileBx": [128], "kChains": [1]}),
+    nw, res, mesh=mesh, interpret=True,
+)
+assert stat == Status.success, stat
+assert trace_sparse(nw, res, False) == Status.success
+assert hash_sparse(nw, res) == Status.success
+print(json.dumps({
+    "pid": int(jax.process_index()),
+    "nproc": int(jax.process_count()),
+    "ndev": int(jax.device_count()),
+    "cost": int(res.align_cost),
+    "trace_hash": int(res.trace_hash),
+    "score_hash": int(res.score_hash),
+    "edit_trace": res.edit_trace,
+}))
+"""
+
+
+def test_two_process_giant_pair(tmp_path):
+    """BASELINE config 5: ONE giant pair partitioned across a mesh that
+    spans 2 processes (2 local devices each) — the lax.ppermute (H, E)
+    halos cross the process boundary, and the sparse result stays
+    bit-exact vs the dense oracle."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    script = tmp_path / "giant_worker.py"
+    script.write_text(GIANT_WORKER)
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.path.abspath(REPO)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd=REPO, env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, stderr[-3000:]
+        json_lines = [
+            ln for ln in stdout.splitlines() if ln.startswith("{")
+        ]
+        assert json_lines, (stdout[-1000:], stderr[-1000:])
+        outs.append(json.loads(json_lines[-1]))
+
+    assert {o["pid"] for o in outs} == {0, 1}
+    assert all(o["nproc"] == 2 and o["ndev"] == 4 for o in outs)
+    # Both processes hold the SAME full sparse result...
+    for key in ("cost", "trace_hash", "score_hash", "edit_trace"):
+        assert outs[0][key] == outs[1][key], key
+
+    # ...which matches the dense oracle bit-exactly.
+    from gpuseqalign_tpu.core.types import AlignSpec
+    from gpuseqalign_tpu.models.oracle import (
+        oracle_align_dense, oracle_hash_dense, oracle_trace_dense,
+    )
+
+    rng = np.random.default_rng(33)
+    subst = rng.integers(-4, 10, size=(25, 25)).astype(np.int32)
+
+    def seq(n):
+        return np.concatenate(
+            [np.zeros(1, np.int32), rng.integers(0, 25, n, dtype=np.int32)]
+        )
+
+    y, x = seq(130), seq(300)
+    spec = AlignSpec.from_name("nw_ag")
+    mats = oracle_align_dense(spec, subst, y, x, -11, -2)
+    transcript, thash, _ = oracle_trace_dense(spec, mats, subst, y, x, -11, -2)
+    assert outs[0]["cost"] == int(mats["H"][-1, -1])
+    assert outs[0]["edit_trace"] == transcript
+    assert outs[0]["trace_hash"] == thash
+    assert outs[0]["score_hash"] == oracle_hash_dense(mats["H"])
