@@ -45,6 +45,17 @@ R, W, TW, K = 2048, 512, 2048, 4
 KIND, GAP = "nw", "affine"
 GAPO, GAPE = -11, -2
 
+# Measured skeleton rooflines (GCUPS/chip on the v5e) at the kernel's own
+# K_max — the sustained rate of the irreducible wavefront step (carry
+# rolls + max-plus DP) with lookup/masks/captures removed. Derivation and
+# reproduction: ROOFLINE.md / gpuseqalign_tpu/bench/vpu_probe.py.
+ROOFLINE_GCUPS = {
+    ("nw", "linear"): 107.8,   # skeleton @ K=6
+    ("sw", "linear"): 107.8,
+    ("nw", "affine"): 70.6,    # affine skeleton @ K=4
+    ("sw", "affine"): 70.6,
+}
+
 
 def _pad_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
@@ -201,12 +212,18 @@ def main() -> int:
         if on_tpu
         else f"GCUPS {name} xla_mlsp 23728x23728 (cpu fallback)"
     )
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(gcups, 3),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / oracle_gcups, 2),
-    }))
+    }
+    if on_tpu:
+        # MFU vs the measured skeleton roofline (ROOFLINE.md §3).
+        roofline = ROOFLINE_GCUPS[(KIND, GAP)]
+        out["roofline_gcups"] = roofline
+        out["mfu"] = round(gcups / roofline, 3)
+    print(json.dumps(out))
     return 0
 
 

@@ -104,6 +104,165 @@ def tune(
     return best
 
 
+DEFAULT_V2_GRID = {
+    # (R, TW, K) candidates for the flagship v2 kernel; W = min(512, TW).
+    "tileBy": [2048],
+    "tileBx": [2048],
+    "kChains": [2, 3, 4, 6, 8],
+}
+
+
+def tune_v2(
+    subst: np.ndarray,
+    seq: np.ndarray,
+    spec: AlignSpec,
+    gapo: int,
+    gape: int,
+    grid: Optional[Dict[str, List[int]]] = None,
+    m_iters: int = 4,
+    verbose: bool = False,
+) -> Dict[str, int]:
+    """Tune the v2 Pallas kernel with EXACT device timing.
+
+    Unlike tune() (align.calc laps, which on a tunneled TPU include the
+    ~26 ms dispatch overhead), each combination here runs m_iters times
+    inside one jitted lax.scan with a data-dependent carry and is scored
+    by (T(1+m) - T(1)) / m — the bench.py recipe. Every combination is
+    first gated on align_cost parity vs the CPU oracle on a 2048-prefix
+    problem. Returns {"tileBy", "tileBx", "kChains", "_gcups"}.
+    """
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.cpu_algs import align_cpu1_st_row
+    from ..ops.pallas_wavefront2 import align_mlsp_v2, pallas_mlsp_v2
+
+    n = len(seq) - 1
+    kind, gap = spec.kind.value, spec.gap.value
+
+    # Oracle gate problem (prefix).
+    pref = min(n, 2048)
+    nwo = AlgInput()
+    nwo.subst = subst
+    nwo.substsz = subst.shape[0]
+    nwo.seqY = seq[: 1 + pref].copy()
+    nwo.seqX = seq[: 1 + pref].copy()
+    nwo.adjrows = nwo.adjcols = 1 + pref
+    nwo.gapo_cost, nwo.gape_cost = gapo, gape
+    nwo.spec = spec
+    reso = AlgResult()
+    if align_cpu1_st_row(AlgParams({}), nwo, reso) != Status.success:
+        raise RuntimeError("oracle failed")
+    want = reso.align_cost
+
+    grid = dict(grid or DEFAULT_V2_GRID)
+    best = None
+    for R in grid.get("tileBy", [2048]):
+        for TW in grid.get("tileBx", [2048]):
+            if TW < R or R % 128 or TW % 128:
+                continue
+            W = min(512, TW)
+            B = -(-n // R)
+            for K in grid.get("kChains", [4]):
+                B_p = -(-B // K) * K
+                rows_p = B_p * R
+                cols_p = -(-n // TW) * TW
+                y = np.zeros(1 + rows_p, np.int32)
+                y[: len(seq)] = seq
+                x = np.zeros(1 + cols_p, np.int32)
+                x[: len(seq)] = seq
+                subst_d = jnp.asarray(subst)
+                y_d = jnp.asarray(y)
+                x_d = jnp.asarray(x)
+
+                @functools.partial(jax.jit, static_argnames=("m",))
+                def loop(subst_j, yj, xj, g0, *, m, R=R, W=W, TW=TW, K=K):
+                    def body(carry, _):
+                        g = g0 + jnp.int32(0) * carry
+                        out = pallas_mlsp_v2(
+                            subst_j, yj, xj, g, jnp.int32(gape),
+                            jnp.int32(n + 1), jnp.int32(n + 1),
+                            R=R, W=W, TW=TW, K=K, kind=kind, gap=gap,
+                        )
+                        return out["hrow"][0, 0], None
+
+                    c, _ = jax.lax.scan(body, jnp.int32(0), None, length=m)
+                    return c
+
+                def t_of(m):
+                    out = loop(subst_d, y_d, x_d, jnp.int32(gapo), m=m)
+                    _ = np.asarray(jax.device_get(out))
+                    ts = []
+                    for _i in range(3):
+                        t0 = time.time()
+                        out = loop(subst_d, y_d, x_d, jnp.int32(gapo), m=m)
+                        _ = np.asarray(jax.device_get(out))
+                        ts.append(time.time() - t0)
+                    return float(np.min(ts))
+
+                try:
+                    # Correctness gate on the prefix problem.
+                    nwc = AlgInput()
+                    nwc.subst = subst
+                    nwc.substsz = subst.shape[0]
+                    nwc.seqY, nwc.seqX = nwo.seqY, nwo.seqX
+                    nwc.adjrows = nwc.adjcols = 1 + pref
+                    nwc.gapo_cost, nwc.gape_cost = gapo, gape
+                    nwc.spec = spec
+                    resc = AlgResult()
+                    stat = align_mlsp_v2(
+                        AlgParams({"tileBy": [R], "tileBx": [TW],
+                                   "kChains": [K]}),
+                        nwc, resc, R, TW, -(-pref // R), -(-pref // TW),
+                    )
+                    if stat != Status.success or resc.align_cost != want:
+                        if verbose:
+                            print(f"  R={R} TW={TW} K={K}: GATE FAIL",
+                                  file=sys.stderr)
+                        continue
+                    t = (t_of(1 + m_iters) - t_of(1)) / m_iters
+                except Exception as e:
+                    if verbose:
+                        print(f"  R={R} TW={TW} K={K}: {type(e).__name__}",
+                              file=sys.stderr)
+                    continue
+                g = n * n / t / 1e9
+                if verbose:
+                    print(f"  R={R} TW={TW} K={K}: {g:.2f} GCUPS",
+                          file=sys.stderr)
+                if best is None or g > best["_gcups"]:
+                    best = {"tileBy": R, "tileBx": TW, "kChains": K,
+                            "_gcups": round(g, 3)}
+    if best is None:
+        raise RuntimeError("no valid v2 combination")
+    return best
+
+
+def save_defaults(entry: Dict[str, int], spec_name: str) -> str:
+    """Merge a tuned entry into resrc/tuned/<device_kind>.json — the
+    cache ops/pallas_wavefront2.tuned_defaults reads."""
+    import jax
+
+    dk = jax.devices()[0].device_kind.lower().replace(" ", "_")
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "resrc", "tuned",
+        f"{dk}.json",
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    data = {}
+    if os.path.exists(path):
+        with open(path, "r", encoding="utf-8") as f:
+            data = json.load(f)
+    data[spec_name] = entry
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(data, f, indent=2, sort_keys=True)
+        f.write("\n")
+    return path
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import argparse
 
@@ -112,7 +271,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ..io.subst import parse_subst_file
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--algParamPath", required=True)
+    ap.add_argument("--algParamPath", default="")
     ap.add_argument("--seqPath", required=True)
     ap.add_argument("--substPath", default="./resrc/subst.json")
     ap.add_argument("--substName", default="blosum62")
@@ -123,6 +282,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--algKind", default="nw_lg")
     ap.add_argument("--samples", type=int, default=3)
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--save-defaults", action="store_true",
+        help="tune the v2 Pallas kernel with exact in-jit device timing "
+             "and write resrc/tuned/<device_kind>.json (the cache "
+             "tuned_defaults() reads); --algParamPath is then optional",
+    )
     args = ap.parse_args(argv)
 
     subst_data = parse_subst_file(args.substPath)
@@ -130,6 +295,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     seq_data = parse_seq_file(args.seqPath, subst_data.letter_map)
     seqY = seq_data.seq_map[args.pair[0]].seq
     seqX = seq_data.seq_map[args.pair[1]].seq
+
+    if args.save_defaults:
+        spec = AlignSpec.from_name(args.algKind)
+        t0 = time.time()
+        entry = tune_v2(
+            subst, seqY, spec, args.gapoCost, args.gapeCost, verbose=True,
+        )
+        path = save_defaults(entry, spec.name)
+        print(json.dumps({spec.name: entry}))
+        print(f"wrote {path} in {time.time() - t0:.1f}s", file=sys.stderr)
+        return 0
+
+    if not args.algParamPath:
+        ap.error("--algParamPath is required without --save-defaults")
     grids = parse_alg_params_file(args.algParamPath)
 
     t0 = time.time()

@@ -1,0 +1,287 @@
+"""Scaling-efficiency report: the BASELINE.json configs table in one
+command.
+
+Emits one JSON document (stdout + logs/scaling_report.json) with aligned
+pairs/s + aggregate GCUPS at:
+
+  1chip           the default backend (the real TPU when tunneled, else
+                  1 CPU device) — batch engine
+  1host_8dev      8-device single-process mesh (virtual CPU devices on
+                  this box; a real 8-chip host on a pod) — batch engine,
+                  data parallel over pairs
+  2hosts          a real 2-process jax.distributed cluster (2 devices
+                  each), pairs sharded per process and merged over the
+                  coordination service — batch engine
+  giant_pair      ONE pair partitioned into per-device column bands with
+                  ppermute halo exchange (parallel/giant.py XLA engine):
+                  per-device GCUPS at D=1 vs D=4 -> pipeline efficiency
+
+Every row is produced by a fresh subprocess so backend/platform/device
+count are controlled per config (the axon TPU plugin ignores
+JAX_PLATFORMS; subprocesses pin via jax.config). Numbers on this box's
+multi-device rows use VIRTUAL CPU devices — they validate the dataflow
+and measure orchestration overhead, not real-chip scaling; run the same
+command on a pod slice for the real table.
+
+Usage: python -m gpuseqalign_tpu.bench.scaling_report [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+from typing import List, Optional
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+
+BATCH_WORKER = r"""
+import json, sys, time
+import numpy as np
+import jax
+if {pin_cpu}:
+    jax.config.update("jax_platforms", "cpu")
+from gpuseqalign_tpu.core.types import AlignSpec
+from gpuseqalign_tpu.parallel import align_pairs_batched, make_mesh
+
+rng = np.random.default_rng(7)
+def seq(n):
+    return np.concatenate(
+        [np.zeros(1, np.int32), rng.integers(0, 25, n, dtype=np.int32)]
+    )
+subst = rng.integers(-4, 10, size=(25, 25)).astype(np.int32)
+pairs = [(seq(a), seq(b)) for a, b in {sizes}]
+cells = sum((len(y) - 1) * (len(x) - 1) for y, x in pairs)
+mesh = make_mesh({n_dev}) if {n_dev} else None
+
+out = align_pairs_batched(AlignSpec.from_name("{spec}"), subst, pairs,
+                          -11, -2, mesh=mesh, quantum="pow2")
+ts = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    out = align_pairs_batched(AlignSpec.from_name("{spec}"), subst, pairs,
+                              -11, -2, mesh=mesh, quantum="pow2")
+    ts.append(time.perf_counter() - t0)
+t = min(ts)
+print(json.dumps({{
+    "backend": jax.default_backend(),
+    "n_devices": int(jax.device_count() if {n_dev} else 1),
+    "pairs": len(pairs),
+    "pairs_per_s": round(len(pairs) / t, 2),
+    "gcups_agg": round(cells / t / 1e9, 4),
+}}))
+"""
+
+MULTIHOST_WORKER = r"""
+import json, sys, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=sys.argv[1],
+                           num_processes=2, process_id=int(sys.argv[2]))
+from gpuseqalign_tpu.core.types import AlignSpec
+from gpuseqalign_tpu.parallel.multihost import align_pairs_multihost
+
+rng = np.random.default_rng(7)
+def seq(n):
+    return np.concatenate(
+        [np.zeros(1, np.int32), rng.integers(0, 25, n, dtype=np.int32)]
+    )
+subst = rng.integers(-4, 10, size=(25, 25)).astype(np.int32)
+pairs = [(seq(a), seq(b)) for a, b in {sizes}]
+cells = sum((len(y) - 1) * (len(x) - 1) for y, x in pairs)
+
+out = align_pairs_multihost(AlignSpec.from_name("{spec}"), subst, pairs,
+                            -11, gape=-2, quantum=128)
+ts = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    out = align_pairs_multihost(AlignSpec.from_name("{spec}"), subst,
+                                pairs, -11, gape=-2, quantum=128)
+    ts.append(time.perf_counter() - t0)
+t = min(ts)
+if jax.process_index() == 0:
+    print(json.dumps({{
+        "backend": jax.default_backend(),
+        "n_processes": int(jax.process_count()),
+        "n_devices": int(jax.device_count()),
+        "pairs": len(pairs),
+        "pairs_per_s": round(len(pairs) / t, 2),
+        "gcups_agg": round(cells / t / 1e9, 4),
+    }}))
+"""
+
+GIANT_WORKER = r"""
+import json, sys, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from gpuseqalign_tpu.core.types import (
+    AlgInput, AlgParams, AlgResult, AlignSpec, Status,
+)
+from gpuseqalign_tpu.parallel import align_giant_mlsp, make_mesh
+
+D = int(sys.argv[1])
+rng = np.random.default_rng(7)
+def seq(n):
+    return np.concatenate(
+        [np.zeros(1, np.int32), rng.integers(0, 25, n, dtype=np.int32)]
+    )
+subst = rng.integers(-4, 10, size=(25, 25)).astype(np.int32)
+y, x = seq({rows}), seq({cols})
+mesh = make_mesh(D, axis_name="sp")
+
+def run():
+    nw = AlgInput()
+    nw.subst = subst; nw.substsz = 25
+    nw.seqY, nw.seqX = y, x
+    nw.adjrows, nw.adjcols = len(y), len(x)
+    nw.gapo_cost = -11
+    nw.spec = AlignSpec.from_name("nw_lg")
+    res = AlgResult()
+    stat = align_giant_mlsp(AlgParams({{"blockH": [256]}}), nw, res,
+                            mesh=mesh)
+    assert stat == Status.success, stat
+    return res
+
+res = run()
+ts = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    res = run()
+    ts.append(time.perf_counter() - t0)
+t = min(ts)
+cells = ({rows}) * ({cols})
+print(json.dumps({{
+    "n_devices": D,
+    "gcups": round(cells / t / 1e9, 4),
+    "gcups_per_device": round(cells / t / 1e9 / D, 4),
+}}))
+"""
+
+
+def _run_worker(code: str, env_extra: dict, args: Optional[List[str]] = None,
+                timeout: int = 600) -> dict:
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".py", delete=False, dir="/tmp"
+    ) as f:
+        f.write(code)
+        path = f.name
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    # PYTHONPATH breaks the axon TPU plugin (CLAUDE.md); workers run with
+    # cwd=REPO so the package imports from the working directory instead.
+    env.pop("PYTHONPATH", None)
+    env.update(env_extra)
+    p = subprocess.run(
+        [sys.executable, path] + (args or []),
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(p.stderr[-2000:])
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    return json.loads(lines[-1])
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--quick", action="store_true",
+                    help="smaller workloads (CI-sized)")
+    ap.add_argument("--spec", default="nw_ag")
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "logs", "scaling_report.json"))
+    args = ap.parse_args(argv)
+
+    if args.quick:
+        sizes = [(100 + 13 * k, 150 + 17 * k) for k in range(16)]
+        rows, cols = 512, 4096
+    else:
+        sizes = [(400 + 31 * k, 600 + 41 * k) for k in range(32)]
+        rows, cols = 1024, 16384
+
+    report = {"spec": args.spec, "host": socket.gethostname(),
+              "configs": {}}
+    t_all = time.time()
+
+    # 1 chip / 1 device, default backend.
+    report["configs"]["1chip"] = _run_worker(
+        BATCH_WORKER.format(pin_cpu="False", n_dev=0, sizes=sizes,
+                            spec=args.spec),
+        {},
+    )
+
+    # 1 host x 8 devices (virtual CPU on this box).
+    report["configs"]["1host_8dev"] = _run_worker(
+        BATCH_WORKER.format(pin_cpu="True", n_dev=8, sizes=sizes,
+                            spec=args.spec),
+        {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+
+    # 2 processes ("hosts"), 2 devices each.
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".py", delete=False, dir="/tmp"
+    ) as f:
+        f.write(MULTIHOST_WORKER.format(sizes=sizes, spec=args.spec))
+        wpath = f.name
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("PYTHONPATH", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, wpath, coord, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd=REPO, env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    mh = None
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=600)
+        if p.returncode != 0:
+            raise RuntimeError(stderr[-2000:])
+        lines = [ln for ln in stdout.splitlines() if ln.startswith("{")]
+        if lines:
+            mh = json.loads(lines[-1])
+    report["configs"]["2hosts"] = mh
+
+    # Giant pair: per-device efficiency D=1 vs D=4.
+    g1 = _run_worker(
+        GIANT_WORKER.format(rows=rows, cols=cols), {}, args=["1"],
+    )
+    g4 = _run_worker(
+        GIANT_WORKER.format(rows=rows, cols=cols),
+        {"XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
+        args=["4"],
+    )
+    report["configs"]["giant_pair"] = {
+        "D1": g1, "D4": g4,
+        "pipeline_efficiency": round(
+            g4["gcups_per_device"] / g1["gcups_per_device"], 3
+        ),
+    }
+    report["elapsed_s"] = round(time.time() - t_all, 1)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w", encoding="utf-8") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

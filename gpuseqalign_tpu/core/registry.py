@@ -14,7 +14,9 @@ Alias mapping (reference -> this framework):
   NwAlign_Cpu4_Mt_DiagRow    -> cpu4_mt_diagrow    (host, tiled + OpenMP)
   NwAlign_Gpu1_Ml_Diag       -> tpu1_xla_diag      (XLA scan over diagonals)
   NwAlign_Gpu2_Ml_DiagRow2Pass -> tpu2_xla_rowscan (XLA row max-plus scan)
-  NwAlign_Gpu3_Ml_DiagDiag   -> tpu3_pallas_dense  (Pallas lane wavefront)
+  NwAlign_Gpu3_Ml_DiagDiag   -> tpu3_pallas_dense  (dense v2 Pallas kernel,
+                                    all specs: in-kernel lookup + wavefront
+                                    history unskewed in XLA)
   NwAlign_Gpu4_Ml_DiagDiag2Pass -> tpu3_pallas_dense (separable-init pre-pass
                                     is inherent: the profile is precomputed)
   NwAlign_Gpu5_Coop_DiagDiag -> tpu3_pallas_dense  (grid-sync == one fused

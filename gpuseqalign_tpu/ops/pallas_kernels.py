@@ -56,13 +56,16 @@ def _on_tpu() -> bool:
 
 
 def align_pallas_dense(pr: AlgParams, nw: AlgInput, res: AlgResult) -> Status:
-    """Dense wavefront kernel (pallas_wavefront.py on TPU; XLA row-scan on
-    other backends and for the spec variants the Pallas path doesn't cover
-    yet)."""
-    if _on_tpu() and nw.spec.kind == AlignKind.NW and nw.spec.gap == GapKind.LINEAR:
-        from . import pallas_wavefront as pw
+    """Dense wavefront kernel: the dense v2 Pallas kernel for ALL specs on
+    TPU (in-kernel lookup + per-step wavefront history, unskewed in XLA —
+    no O(n^2) input); XLA row-scan on other backends."""
+    affine_ok = nw.spec.gap != GapKind.AFFINE or (
+        nw.gapo_cost <= 0 and nw.gape_cost <= 0
+    )
+    if _on_tpu() and affine_ok:
+        from . import pallas_wavefront2 as pw2
 
-        return pw.align_dense(pr, nw, res)
+        return pw2.align_dense_v2(pr, nw, res)
     return xk.align_xla_rowscan(pr, nw, res)
 
 
@@ -72,8 +75,17 @@ def align_pallas_dense(pr: AlgParams, nw: AlgInput, res: AlgResult) -> Status:
 
 
 def _mlsp_setup(pr: AlgParams, nw: AlgInput):
-    tile_h = int(pr.get("tileBy", 0) or 128)
-    tile_w = int(pr.get("tileBx", 0) or 512)
+    # Defaults: on TPU from the autotuner cache (resrc/tuned/<device>.json
+    # via pallas_wavefront2.tuned_defaults), else portable literals.
+    tile_h_def, tile_w_def = 128, 512
+    if _on_tpu():
+        from .pallas_wavefront2 import tuned_defaults
+
+        tuned = tuned_defaults(nw.spec.kind.value, nw.spec.gap.value)
+        tile_h_def = int(tuned.get("tileBy", tile_h_def))
+        tile_w_def = int(tuned.get("tileBx", tile_w_def))
+    tile_h = int(pr.get("tileBy", 0) or tile_h_def)
+    tile_w = int(pr.get("tileBx", 0) or tile_w_def)
     if tile_h < 1 or tile_w < 1:
         return None
     rows = nw.adjrows - 1

@@ -317,6 +317,18 @@ def pallas_mlsp_nw_lg(subst, Y, X, gapo, *, R: int, W: int, TW: int,
 # --------------------------------------------------------------------------
 
 
+def _v1_vmem_bytes(R: int, W: int, prev_len: int, mlsp: bool) -> int:
+    """Analytic VMEM peak of one v1 pallas_call (scratch + 2x-buffered
+    in/out blocks; ref analog: src/nwalign_shared.cpp:5-25)."""
+    i32 = 4
+    SUB = R // 128
+    blk = SUB * 128 * i32
+    scratch = 2 * prev_len * i32 + (3 if mlsp else 2) * blk + 128 * i32
+    ins = W * SUB * 128 * i32          # pre-skewed profile window
+    outs = (prev_len * i32 + blk) if mlsp else W * SUB * 128 * i32
+    return scratch + 2 * (ins + outs)
+
+
 def _choose_r(rows: int, tile_by: int) -> int:
     if tile_by and tile_by % 128 == 0:
         return tile_by
@@ -353,6 +365,10 @@ def align_dense(pr: AlgParams, nw: AlgInput, res: AlgResult,
     )
     jax.block_until_ready(H_dev)
     sw.lap("align.calc")
+    NSpad = _cdiv(R + cols_p - 1 + 128, W) * W
+    res.shmem_peak_allocs = max(
+        res.shmem_peak_allocs, _v1_vmem_bytes(R, W, NSpad + 128, False)
+    )
     return _finish_dense_from_device(nw, res, H_dev)
 
 
@@ -393,6 +409,10 @@ def align_mlsp(pr: AlgParams, nw: AlgInput, res: AlgResult,
     hcol = np.asarray(jax.device_get(hcol_d))
     sw.lap("align.cpy_host")
     nw.note_device_alloc(int(hrow.nbytes + hcol.nbytes))
+    NSpad = _cdiv(R + cols_p - 1 + 128, W) * W
+    res.shmem_peak_allocs = max(
+        res.shmem_peak_allocs, _v1_vmem_bytes(R, W, NSpad + 128, True)
+    )
 
     # Convert kernel outputs to the generic (hrows, hcols) form used by
     # _mlsp_store: hrows[it] = row it*R; hcols[it, r, jt] = H[it*R+1+r, jt*TW].

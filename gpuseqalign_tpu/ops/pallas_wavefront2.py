@@ -58,7 +58,7 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                  TW: int, OFF: int, prev_len: int, B: int,
                  kind: str = "nw", gap: str = "linear",
                  batch: bool = False, capture_cost: bool = False,
-                 banded: bool = False):
+                 banded: bool = False, dense: bool = False):
     """Kernel factory shared by the full-matrix, batched and BANDED forms.
 
     ``banded`` (the per-device compute of the multi-chip giant engine,
@@ -75,6 +75,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
     is_sw = kind == "sw"
     affine = gap == "affine"
     assert not (banded and (batch or capture_cost))
+    assert not (dense and (batch or banded))
+    NSpad = prev_len - 128
 
     def kernel(*refs):
         g_ref = refs[0]
@@ -99,6 +101,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
             bc_refs = refs[pos: pos + K]; pos += K
         if capture_cost:
             cost_refs = refs[pos: pos + K]; pos += K
+        if dense:
+            vhist_refs = refs[pos: pos + K]; pos += K
         prevb = refs[pos: pos + K]; pos += K
         if affine:
             prevf = refs[pos: pos + K]; pos += K
@@ -365,6 +369,18 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         lt = adjrs[k] - 2 - blk * R
                         hit = (i2d == lt) & (c == lt + adjcs[k] - 2)
                         costv = jnp.where(hit, cell, costv)
+                    if dense:
+                        # Per-step wavefront history (skewed): element c of
+                        # the chain's NSpad-long stream. Gated per window
+                        # so fill/drain-phase junk never lands in the
+                        # (clipped) first/last out blocks.
+                        @pl.when(
+                            (clocs[k] >= 0) & (clocs[k] < NSpad)
+                        )
+                        def _(cell=cell, k=k):
+                            vhist_refs[k][0, pl.ds(w * 128 + tt, 1)] = (
+                                cell[None]
+                            )
 
                     # --- output-row capture (H[(b+1)R, j], F likewise) ---
                     sel_p = (tt + 2) % 128
@@ -658,6 +674,164 @@ def pallas_mlsp_nw_lg_v2(subst, Y, X, gapo, *, R: int, W: int, TW: int,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("R", "W", "TW", "K", "kind", "gap", "interpret"),
+)
+def pallas_dense_v2(subst, Y, X, gapo, gape, *, R: int, W: int, TW: int,
+                    K: int, kind: str = "nw", gap: str = "linear",
+                    interpret: bool = False):
+    """Dense fill, any spec: the v2 multi-chain kernel writing its
+    per-step wavefront history, unskewed in XLA to the full (adjrows_p,
+    adjcols_p) H matrix with the spec's header row/column prepended
+    (ref surface: src/nwalign_gpu3_ml_diagdiag.cu:210-247 — there the
+    dense score matrix is the tile wavefront's direct output; here the
+    skewed history stream plays the global-memory score role).
+
+    Unlike v1 (pallas_wavefront.py) there is no O(n^2) pre-skewed
+    substitution input — the lookup is in-kernel — so the only O(n^2)
+    traffic is the output itself.
+    """
+    rows_p = Y.shape[0] - 1
+    cols_p = X.shape[0] - 1
+    SUB = R // 128
+    B = rows_p // R
+    BB = B // K
+    affine = gap == "affine"
+    is_sw = kind == "sw"
+    OFF = W * _cdiv(R + 256, W)
+    NS = R + cols_p - 1
+    NSpad = _cdiv(NS + 128, W) * W
+    CH = (NSpad + (K - 1) * OFF) // W
+    prev_len = NSpad + 128
+    CT = _cdiv(CH, TW // W)
+    offw = OFF // W
+
+    planes = _pack_planes(subst, Y, B, R)
+    xpad = jnp.zeros(NSpad + 1, jnp.int32)
+    xpad = xpad.at[: cols_p].set(X[1:])
+    xwin = xpad[:NSpad].reshape(NSpad // W, W // 128, 128)
+
+    kernel, q, _ = _make_kernel(
+        K=K, SUB=SUB, W=W, CH=CH, cols_p=cols_p, R=R, TW=TW, OFF=OFF,
+        prev_len=prev_len, B=B, kind=kind, gap=gap, dense=True,
+    )
+    gmat = jnp.stack(
+        [jnp.int32(gapo), jnp.int32(gape)]
+        + [jnp.int32(rows_p + 1)] * K
+        + [jnp.int32(cols_p + 1)] * K
+    ).reshape(1, 2 + 2 * K)
+
+    def kspecs(shape, index):
+        return [
+            pl.BlockSpec(shape, functools.partial(index, k=k),
+                         memory_space=pltpu.VMEM)
+            for k in range(K)
+        ]
+
+    in_specs = [pl.BlockSpec((1, 2 + 2 * K), lambda bb, ch: (0, 0),
+                             memory_space=pltpu.SMEM)]
+    in_specs += kspecs(
+        (1, 8, SUB, 128), lambda bb, ch, k=0: (bb * K + k, 0, 0, 0)
+    )
+    in_specs += kspecs(
+        (1, W // 128, 128),
+        lambda bb, ch, k=0: (jnp.clip(ch - k * offw, 0, NSpad // W - 1),
+                             0, 0),
+    )
+
+    row_specs = kspecs((1, 1, prev_len),
+                       lambda bb, ch, k=0: (bb * K + k, 0, 0))
+    col_specs = kspecs(
+        (1, 1, SUB, 128),
+        lambda bb, ch, k=0: (
+            bb * K + k, jnp.clip((ch - k * offw) // q, 0, CT - 1), 0, 0,
+        ),
+    )
+    blk_specs = kspecs((1, SUB, 128), lambda bb, ch, k=0: (bb * K + k, 0, 0))
+    hist_specs = kspecs(
+        (1, W, SUB, 128),
+        lambda bb, ch, k=0: (
+            bb * K + k, jnp.clip(ch - k * offw, 0, NSpad // W - 1), 0, 0,
+        ),
+    )
+
+    row_shape = jax.ShapeDtypeStruct((B, 1, prev_len), jnp.int32)
+    col_shape = jax.ShapeDtypeStruct((B, CT, SUB, 128), jnp.int32)
+    blk_shape = jax.ShapeDtypeStruct((B, SUB, 128), jnp.int32)
+    hist_shape = jax.ShapeDtypeStruct((B, NSpad, SUB, 128), jnp.int32)
+
+    out_specs = row_specs + col_specs
+    out_shapes = [row_shape] * K + [col_shape] * K
+    if affine:
+        out_specs += row_specs + col_specs
+        out_shapes += [row_shape] * K + [col_shape] * K
+    if is_sw:
+        out_specs += blk_specs + blk_specs
+        out_shapes += [blk_shape] * K + [blk_shape] * K
+    out_specs += hist_specs
+    out_shapes += [hist_shape] * K
+
+    scratch = [pltpu.VMEM((1, prev_len), jnp.int32) for _ in range(K)]
+    if affine:
+        scratch += [pltpu.VMEM((1, prev_len), jnp.int32) for _ in range(K)]
+    scratch += [
+        pltpu.VMEM((K, SUB, 128), jnp.int32),
+        pltpu.VMEM((K, SUB, 128), jnp.int32),
+        pltpu.VMEM((K, SUB, 128), jnp.int32),
+        pltpu.VMEM((K, SUB, 128), jnp.int32),
+        pltpu.VMEM((K, 1, 128), jnp.int32),
+    ]
+    if affine:
+        scratch += [
+            pltpu.VMEM((K, SUB, 128), jnp.int32),
+            pltpu.VMEM((K, SUB, 128), jnp.int32),
+            pltpu.VMEM((K, SUB, 128), jnp.int32),
+            pltpu.VMEM((K, 1, 128), jnp.int32),
+        ]
+    if is_sw:
+        scratch += [
+            pltpu.VMEM((K, SUB, 128), jnp.int32),
+            pltpu.VMEM((K, SUB, 128), jnp.int32),
+        ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(BB, CH),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(gmat, *([planes] * K), *([xwin] * K))
+
+    # Chain k wrote rows bb*K + k of its own vhist array; interleave.
+    hists = outs[-K:]
+    vhist = jnp.stack(
+        [hists[k].reshape(BB, K, NSpad, SUB, 128)[:, k] for k in range(K)],
+        axis=1,
+    ).reshape(B, NSpad, R)
+
+    from .skew import unskew_cols
+
+    Hb = jax.vmap(lambda v: unskew_cols(jnp, v, cols_p))(vhist)
+    H = Hb.reshape(rows_p, cols_p)
+    jr = jnp.arange(1 + cols_p, dtype=jnp.int32)
+    ir = jnp.arange(1, 1 + rows_p, dtype=jnp.int32)
+    if is_sw:
+        top = jnp.zeros((1, 1 + cols_p), jnp.int32)
+        left = jnp.zeros((rows_p, 1), jnp.int32)
+    elif affine:
+        top = jnp.where(jr == 0, 0, gapo + jr * gape)[None, :]
+        left = (gapo + ir * gape)[:, None]
+    else:
+        top = (jr * gapo)[None, :]
+        left = (ir * gapo)[:, None]
+    return jnp.concatenate(
+        [top, jnp.concatenate([left, H], axis=1)], axis=0
+    )
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("R", "W", "TW", "kind", "gap", "interpret"),
 )
 def pallas_mlsp_batch_v2(subst, Ys, Xs, gapo, gape, adjrs, adjcs, *,
@@ -811,6 +985,46 @@ def v2_params_ok(tile_h: int, tile_w: int, rows: int, cols: int) -> bool:
     )
 
 
+def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
+                  affine: bool, is_sw: bool,
+                  capture_cost: bool = False) -> int:
+    """Analytic VMEM peak of one v2/banded pallas_call — the TPU analog of
+    the reference's occupancy-based shared-memory accounting
+    (ref: src/nwalign_shared.cpp:5-25). Sums the static scratch_shapes
+    plus the in/out VMEM blocks (x2 for Pallas's grid double-buffering).
+    """
+    i32 = 4
+    blk = SUB * 128 * i32
+    scratch = K * prev_len * i32                     # prevb
+    scratch += 4 * K * blk + K * 128 * i32           # v1s/shps/xds/accs+prows
+    if affine:
+        scratch += K * prev_len * i32                # prevf
+        scratch += 3 * K * blk + K * 128 * i32       # e1s/f1s/accEs+prowFs
+    if is_sw:
+        scratch += 2 * K * blk                       # bvs/bcs
+    if capture_cost:
+        scratch += K * blk
+    ins = K * (8 * blk + W * i32)                    # planes + xwin blocks
+    outs = K * (prev_len * i32 + blk)                # hrow + hcol blocks
+    if affine:
+        outs *= 2                                    # + frow + ecol
+    if is_sw:
+        outs += 2 * K * blk                          # bv + bc
+    if capture_cost:
+        outs += K * blk
+    return scratch + 2 * (ins + outs)
+
+
+def v2_regmem_bytes(*, K: int, SUB: int, affine: bool, is_sw: bool,
+                    capture_cost: bool = False) -> int:
+    """Per-chain carry state held in vector registers across the hot loop
+    (the regmem analog of the reference's cudaFuncAttributes register
+    accounting): NCAR (SUB, 128) int32 vectors per chain."""
+    ncar = (5 + (4 if affine else 0) + (2 if is_sw else 0)
+            + (1 if capture_cost else 0))
+    return ncar * K * SUB * 128 * 4
+
+
 def _is_compile_resource_error(e: Exception) -> bool:
     """True for Mosaic/XLA compile-time resource exhaustion (register/VMEM
     spill) — the only failure mode the K-backoff retry should absorb."""
@@ -823,14 +1037,52 @@ def _is_compile_resource_error(e: Exception) -> bool:
 
 
 K_MAX_DEFAULT = {
-    # Measured on v5e at 23728^2, R=TW=2048. Above these the per-chain
-    # carry state spills registers and Mosaic fails to compile (scoped
-    # vmem stack OOM) or collapses (K=8 nw_lg: 8.2 GCUPS).
+    # Fallback only — the live defaults come from the autotuner cache
+    # (tuned_defaults below). Measured on v5e at 23728^2, R=TW=2048.
+    # Above these the per-chain carry state spills registers and Mosaic
+    # fails to compile (scoped vmem stack OOM) or collapses (K=8 nw_lg:
+    # 8.2 GCUPS).
     ("nw", "linear"): 6,   # 55.9 GCUPS
     ("sw", "linear"): 6,   # 50.0 GCUPS
     ("nw", "affine"): 4,   # 38.7 GCUPS
     ("sw", "affine"): 3,   # 33.6 GCUPS
 }
+
+_TUNED_CACHE: "dict | None" = None
+
+
+def tuned_defaults(kind: str, gap: str) -> dict:
+    """Tuned kernel parameters for this device kind and spec.
+
+    Read from the autotuner-written cache
+    ``resrc/tuned/<device_kind>.json`` (write/update it with
+    ``python -m gpuseqalign_tpu.bench.autotune --save-defaults``); falls
+    back to the K_MAX_DEFAULT literals when no cache entry exists. Keys:
+    tileBy, tileBx, kChains, _gcups.
+    """
+    global _TUNED_CACHE
+    if _TUNED_CACHE is None:
+        _TUNED_CACHE = {}
+        try:
+            import json
+            import os
+
+            import jax
+
+            dk = jax.devices()[0].device_kind.lower().replace(" ", "_")
+            path = os.path.join(
+                os.path.dirname(__file__), "..", "..", "resrc", "tuned",
+                f"{dk}.json",
+            )
+            if os.path.exists(path):
+                with open(path, "r", encoding="utf-8") as f:
+                    _TUNED_CACHE = json.load(f)
+        except Exception:
+            _TUNED_CACHE = {}
+    name = f"{kind}_{'ag' if gap == 'affine' else 'lg'}"
+    ent = dict(_TUNED_CACHE.get(name, {}))
+    ent.setdefault("kChains", K_MAX_DEFAULT[(kind, gap)])
+    return ent
 
 
 def choose_k(trows: int, k_max: int = 6) -> int:
@@ -839,6 +1091,90 @@ def choose_k(trows: int, k_max: int = 6) -> int:
         if k <= trows and k <= k_max:
             return k
     return 1
+
+
+def align_dense_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
+                   interpret: bool = False) -> Status:
+    """Host wrapper for the dense v2 kernel (gpu3-gpu6 alias surface):
+    any spec, full H matrix + plain trace/hash downstream."""
+    from .xla_kernels import _finish_dense_from_device
+
+    spec = nw.spec
+    affine = spec.gap.value == "affine"
+    is_sw = spec.kind.value == "sw"
+
+    sw = res.sw_align
+    sw.start()
+    rows = nw.adjrows - 1
+    cols = nw.adjcols - 1
+    tile_by = int(pr.get("tileBy", 0) or 0)
+    if tile_by and tile_by % 128 == 0:
+        R = tile_by
+    else:
+        R = min(1024, max(128, _cdiv(max(rows, 1), 128) * 128))
+    TW = R
+    W = min(512, TW)
+    B = _cdiv(max(rows, 1), R)
+    k_max = int(
+        pr.get("kChains", 0)
+        or tuned_defaults(spec.kind.value, spec.gap.value)["kChains"]
+    )
+    K = choose_k(B, k_max)
+    B_p = _cdiv(B, K) * K
+    rows_p = B_p * R
+    cols_p = _cdiv(max(cols, 1), 128) * 128
+    y = np.zeros(1 + rows_p, np.int32)
+    x = np.zeros(1 + cols_p, np.int32)
+    y[: nw.adjrows] = nw.seqY
+    x[: nw.adjcols] = nw.seqX
+    sw.lap("align.alloc")
+
+    subst_d = jax.device_put(nw.subst)
+    y_d = jax.device_put(y)
+    x_d = jax.device_put(x)
+    jax.block_until_ready((subst_d, y_d, x_d))
+    sw.lap("align.cpy_dev")
+
+    while True:
+        try:
+            H_dev = pallas_dense_v2(
+                subst_d, y_d, x_d,
+                jnp.int32(nw.gapo_cost), jnp.int32(nw.gape_cost),
+                R=R, W=W, TW=TW, K=K,
+                kind=spec.kind.value, gap=spec.gap.value,
+                interpret=interpret,
+            )
+            jax.block_until_ready(H_dev)
+            break
+        except Exception as e:
+            if K == 1 or not _is_compile_resource_error(e):
+                raise
+            import warnings
+
+            warnings.warn(
+                f"pallas_dense_v2 K={K} failed to compile "
+                f"({type(e).__name__}); retrying with fewer chains",
+                RuntimeWarning,
+            )
+            K = choose_k(B, K - 1)
+            B_p = _cdiv(B, K) * K
+            rows_p = B_p * R
+            y2 = np.zeros(1 + rows_p, np.int32)
+            y2[: nw.adjrows] = nw.seqY
+            y_d = jax.device_put(y2)
+            jax.block_until_ready(y_d)
+    sw.lap("align.calc")
+
+    SUBv = R // 128
+    NSpadv = _cdiv(R + cols_p - 1 + 128, W) * W
+    res.shmem_peak_allocs = max(res.shmem_peak_allocs, v2_vmem_bytes(
+        K=K, SUB=SUBv, prev_len=NSpadv + 128, W=W,
+        affine=affine, is_sw=is_sw,
+    ) + 2 * K * W * SUBv * 128 * 4)  # + double-buffered vhist out blocks
+    res.regmem_peak_allocs = max(res.regmem_peak_allocs, v2_regmem_bytes(
+        K=K, SUB=SUBv, affine=affine, is_sw=is_sw,
+    ))
+    return _finish_dense_from_device(nw, res, H_dev)
 
 
 def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
@@ -862,7 +1198,7 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     W = min(512, TW)
     k_max = int(
         pr.get("kChains", 0)
-        or K_MAX_DEFAULT[(spec.kind.value, spec.gap.value)]
+        or tuned_defaults(spec.kind.value, spec.gap.value)["kChains"]
     )
     K = choose_k(trows, k_max)
     trows_p = _cdiv(trows, K) * K  # pad row blocks so B % K == 0
@@ -918,6 +1254,17 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     out = {kk: np.asarray(jax.device_get(v)) for kk, v in out_d.items()}
     sw.lap("align.cpy_host")
     nw.note_device_alloc(sum(int(v.nbytes) for v in out.values()))
+
+    # Analytic on-chip memory peaks (ref analog: src/nwalign_shared.cpp).
+    SUBv = R // 128
+    NSpadv = _cdiv(R + cols_p - 1 + 128, W) * W
+    res.shmem_peak_allocs = max(res.shmem_peak_allocs, v2_vmem_bytes(
+        K=K, SUB=SUBv, prev_len=NSpadv + 128, W=W,
+        affine=affine, is_sw=is_sw,
+    ))
+    res.regmem_peak_allocs = max(res.regmem_peak_allocs, v2_regmem_bytes(
+        K=K, SUB=SUBv, affine=affine, is_sw=is_sw,
+    ))
 
     ninf = np.int32(NEG_INF_I32)
     g = nw.gapo_cost

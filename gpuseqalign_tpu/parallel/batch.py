@@ -221,10 +221,10 @@ def _pallas_batch_scores(
     (costs, best_i, best_j) matching scores_batch."""
     import jax
     import jax.numpy as jnp
-    from ..ops.pallas_wavefront2 import K_MAX_DEFAULT, pallas_mlsp_batch_v2
+    from ..ops.pallas_wavefront2 import pallas_mlsp_batch_v2, tuned_defaults
 
     is_sw = spec.kind.value == "sw"
-    K = K_MAX_DEFAULT[(spec.kind.value, spec.gap.value)]
+    K = int(tuned_defaults(spec.kind.value, spec.gap.value)["kChains"])
     b = ys.shape[0]
     b_pad = _pad_to(b, K)
     if b_pad != b:

@@ -285,6 +285,20 @@ def align_giant2(
     sw.lap("align.cpy_host")
     nw.note_device_alloc(sum(int(v.nbytes) for v in out.values()))
 
+    # Analytic per-device on-chip peaks of the banded pallas_call.
+    from ..ops.pallas_wavefront2 import v2_regmem_bytes, v2_vmem_bytes
+
+    W = min(512, TW)
+    SUBv = R // 128
+    NSpadv = _cdiv(R + band_cols - 1 + 128, W) * W
+    res.shmem_peak_allocs = max(res.shmem_peak_allocs, v2_vmem_bytes(
+        K=K, SUB=SUBv, prev_len=NSpadv + 128, W=W,
+        affine=affine, is_sw=is_sw,
+    ))
+    res.regmem_peak_allocs = max(res.regmem_peak_allocs, v2_regmem_bytes(
+        K=K, SUB=SUBv, affine=affine, is_sw=is_sw,
+    ))
+
     B = n_pass * K
     g = nw.gapo_cost
     ge = nw.gape_cost

@@ -101,6 +101,11 @@ def test_align_mlsp_v2_end_to_end(blosum62, rng):
     assert hash_sparse(nw, res) == Status.success
     assert res.score_hash == oracle_hash_dense(mats["H"])
 
+    # Analytic on-chip telemetry must be populated (VMEM + register
+    # carry-state peaks; ref analog: src/nwalign_shared.cpp).
+    assert res.shmem_peak_allocs > 0
+    assert res.regmem_peak_allocs > 0
+
 
 @pytest.mark.parametrize("spec_name", ["nw_ag", "sw_lg", "sw_ag"])
 def test_align_mlsp_v2_specs(blosum62, rng, spec_name):
@@ -144,17 +149,20 @@ def test_align_mlsp_v2_specs(blosum62, rng, spec_name):
     assert res.score_hash == oracle_hash_dense(mats["H"])
 
 
-@pytest.mark.parametrize("spec_name", ["nw_lg", "sw_lg"])
-def test_batch_kernel_matches_oracle(blosum62, rng, spec_name):
+@pytest.mark.parametrize("spec_name,K", [("nw_lg", 2), ("sw_lg", 2),
+                                         ("nw_ag", 3), ("sw_ag", 3)])
+def test_batch_kernel_matches_oracle(blosum62, rng, spec_name, K):
     """Batched variant (pairs-as-chains, self-chained row buffers): costs
-    and SW argmax vs the dense oracle, mixed true lengths in one bucket."""
+    and SW argmax vs the dense oracle, mixed true lengths in one bucket.
+    The affine specs run K=3 chains (exercising the per-pair F/E carry
+    buffers through parallel/batch.py's dispatch)."""
     import jax.numpy as jnp
     from gpuseqalign_tpu.models.oracle import align_cost_of
     from gpuseqalign_tpu.ops.pallas_wavefront2 import pallas_mlsp_batch_v2
 
     spec = AlignSpec.from_name(spec_name)
-    K, R, W, TW = 2, 128, 128, 128
-    sizes = [(150, 260), (250, 170)]
+    R, W, TW = 128, 128, 128
+    sizes = [(150, 260), (250, 170), (127, 129)][:K]
     rows_p, cols_p = 384, 384
     Ys = np.zeros((K, 1 + rows_p), np.int32)
     Xs = np.zeros((K, 1 + cols_p), np.int32)
@@ -197,3 +205,44 @@ def test_batch_kernel_matches_oracle(blosum62, rng, spec_name):
         np.testing.assert_array_equal(
             np.asarray(out["hrow"][k, 0, : cols_p + 1]), Hp[R, : cols_p + 1]
         )
+
+
+@pytest.mark.parametrize("spec_name", ["nw_ag", "sw_lg"])
+def test_align_dense_v2(blosum62, rng, spec_name):
+    """Dense v2 wrapper (the gpu3-gpu6 alias surface): full H + plain
+    trace/hash bit-exact vs the dense oracle, any spec."""
+    from gpuseqalign_tpu.models.oracle import align_cost_of
+    from gpuseqalign_tpu.ops.pallas_wavefront2 import align_dense_v2
+    from gpuseqalign_tpu.trace.plain import hash_plain, trace_plain
+    from gpuseqalign_tpu.core.hashing import djb2_array
+
+    spec = AlignSpec.from_name(spec_name)
+    Y = random_seq(rng, 150)
+    X = random_seq(rng, 260)
+
+    nw = AlgInput()
+    nw.subst = blosum62
+    nw.substsz = blosum62.shape[0]
+    nw.seqY, nw.seqX = Y, X
+    nw.adjrows, nw.adjcols = len(Y), len(X)
+    nw.gapo_cost, nw.gape_cost = -11, -2
+    nw.spec = spec
+
+    res = AlgResult()
+    stat = align_dense_v2(AlgParams({"kChains": [2]}), nw, res,
+                          interpret=True)
+    assert stat == Status.success
+
+    mats = oracle_align_dense(spec, blosum62, Y, X, -11, -2)
+    np.testing.assert_array_equal(nw.score, mats["H"])
+    assert res.align_cost == align_cost_of(spec, mats)
+
+    assert trace_plain(nw, res, False) == Status.success
+    transcript, thash, _ = oracle_trace_dense(
+        spec, mats, blosum62, Y, X, -11, -2
+    )
+    assert res.edit_trace == transcript
+    assert res.trace_hash == thash
+    assert hash_plain(nw, res) == Status.success
+    assert res.score_hash == djb2_array(mats["H"])
+    assert res.shmem_peak_allocs > 0
