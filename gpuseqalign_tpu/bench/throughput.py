@@ -21,6 +21,64 @@ from typing import List, Optional
 import numpy as np
 
 
+def _run_streaming(args, spec, subst, letter_map) -> int:
+    """Streaming all-vs-first throughput: constant host memory.
+
+    The first record is the shared X (ref default pairing,
+    src/cmd_parser.cpp:467-499 aligns every sequence with the first);
+    subsequent records are chunked and aligned per chunk.
+    """
+    from ..io.fasta import iter_seq_file
+    from ..parallel import align_pairs_batched, make_mesh
+    from ..models.oracle import align_cost_of, oracle_align_dense
+
+    mesh = make_mesh(args.devices) if args.devices else None
+    first = None
+    chunk: list = []
+    n_pairs = 0
+    cells = 0
+    n_bad = 0
+    n_verified = 0
+    t0 = time.perf_counter()
+    for seq in iter_seq_file(args.seqPath, letter_map):
+        if first is None:
+            first = seq
+            continue
+        chunk.append((seq.seq, first.seq))
+        if len(chunk) >= args.stream:
+            out = align_pairs_batched(
+                spec, subst, chunk, args.gapoCost, args.gapeCost,
+                mesh=mesh, quantum=args.quantum,
+            )
+            if args.verify and n_verified < args.verify:
+                y, x = chunk[0]
+                mats = oracle_align_dense(
+                    spec, subst, y, x, args.gapoCost, args.gapeCost
+                )
+                if out.costs[0] != align_cost_of(spec, mats):
+                    n_bad += 1
+                    print(f"MISMATCH pair {n_pairs}", file=sys.stderr)
+                n_verified += 1
+            n_pairs += len(chunk)
+            cells += sum((len(y) - 1) * (len(x) - 1) for y, x in chunk)
+            chunk = []
+    if chunk:
+        align_pairs_batched(
+            spec, subst, chunk, args.gapoCost, args.gapeCost,
+            mesh=mesh, quantum=args.quantum,
+        )
+        n_pairs += len(chunk)
+        cells += sum((len(y) - 1) * (len(x) - 1) for y, x in chunk)
+    t = time.perf_counter() - t0
+    print(
+        f"{args.algKind} (streamed, chunk={args.stream}): {n_pairs} pairs "
+        f"in {t * 1e3:.1f} ms -> {n_pairs / t:.1f} pairs/s, "
+        f"{cells / t / 1e9:.2f} GCUPS agg"
+        + (f", {n_bad} verify mismatches" if n_bad else ", verify ok")
+    )
+    return 1 if n_bad else 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import argparse
 
@@ -46,6 +104,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--verify", type=int, default=5,
                     help="verify N sampled pairs against the CPU oracle")
+    ap.add_argument("--stream", type=int, default=0, metavar="CHUNK",
+                    help="stream the FASTA (io.fasta.iter_seq_file) and "
+                         "align all-vs-first pairs in chunks of CHUNK — "
+                         "O(chunk) host memory for corpora larger than "
+                         "RAM; incompatible with --seqPairPath")
     args = ap.parse_args(argv)
     if args.quantum != "pow2":
         args.quantum = int(args.quantum)
@@ -53,6 +116,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     spec = AlignSpec.from_name(args.algKind)
     subst_data = parse_subst_file(args.substPath)
     subst = subst_data.subst_map[args.substName]
+
+    if args.stream:
+        if args.seqPairPath:
+            ap.error("--stream only supports default all-vs-first pairing")
+        return _run_streaming(args, spec, subst, subst_data.letter_map)
+
     seq_data = parse_seq_file(args.seqPath, subst_data.letter_map)
     if args.seqPairPath:
         pair_list = parse_seq_pair_file(args.seqPairPath, seq_data.seq_map)

@@ -54,21 +54,33 @@ def _first_non_ws(line: str) -> int:
     return i
 
 
-def read_fasta(path: str, stream: TextIO, letter_map: Dict[str, int]) -> SeqData:
-    seq_data = SeqData()
+def iter_fasta(path: str, stream: TextIO, letter_map: Dict[str, int]):
+    """Streaming FASTA reader: yields ``Seq`` records one at a time.
+
+    Identical observable semantics to ``read_fasta`` (header-0 element,
+    whitespace skipping, duplicate-id and letter errors with
+    ``path:line:col``), but holds only ONE sequence in memory — for
+    corpora larger than host RAM the batch/throughput flows can consume
+    this generator chunk-wise instead of ``parse_seq_file`` (the
+    reference always loads everything up front,
+    ref: src/cmd_parser.cpp:316-530).
+    """
+    seen: set = set()
     cur_id: Optional[str] = None
     cur_info = ""
     cur_letters: List[int] = []
 
-    def flush() -> None:
+    def flush() -> Optional[Seq]:
         nonlocal cur_id, cur_info, cur_letters
+        out = None
         if cur_id is not None and cur_letters:
             # Header element prepended (ref: file_formats.cpp:43-47).
             arr = np.asarray([0] + cur_letters, dtype=np.int32)
-            seq_data.seq_map[cur_id] = Seq(id=cur_id, info=cur_info, seq=arr)
+            out = Seq(id=cur_id, info=cur_info, seq=arr)
         cur_id = None
         cur_info = ""
         cur_letters = []
+        return out
 
     expect_header = True
     have_header = False
@@ -84,7 +96,9 @@ def read_fasta(path: str, stream: TextIO, letter_map: Dict[str, int]) -> SeqData
                 # Header directly after header: the reference errors in
                 # readFastaSequenceLine (ref: file_formats.cpp:137).
                 raise FormatError("expected sequence after header", path, line0, start)
-            flush()
+            done = flush()
+            if done is not None:
+                yield done
             # Parse header: '>' [ws] id [ws info]
             rest = line[start + 1:]
             body = rest.lstrip()
@@ -94,11 +108,12 @@ def read_fasta(path: str, stream: TextIO, letter_map: Dict[str, int]) -> SeqData
                 )
             parts = body.split(None, 1)
             seq_id = parts[0]
-            if seq_id in seq_data.seq_map:
+            if seq_id in seen:
                 raise FormatError(
                     "duplicate sequence id", path, line0, start,
                     stat=Status.errorInvalidValue,
                 )
+            seen.add(seq_id)
             cur_id = seq_id
             cur_info = parts[1].rstrip() if len(parts) > 1 else ""
             have_header = True
@@ -121,10 +136,24 @@ def read_fasta(path: str, stream: TextIO, letter_map: Dict[str, int]) -> SeqData
                 )
             cur_letters.append(val)
 
-    flush()
+    done = flush()
+    if done is not None:
+        yield done
+
+
+def read_fasta(path: str, stream: TextIO, letter_map: Dict[str, int]) -> SeqData:
+    seq_data = SeqData()
+    for seq in iter_fasta(path, stream, letter_map):
+        seq_data.seq_map[seq.id] = seq
     return seq_data
 
 
 def parse_seq_file(path: str, letter_map: Dict[str, int]) -> SeqData:
     with open(path, "r", encoding="utf-8") as f:
         return read_fasta(path, f, letter_map)
+
+
+def iter_seq_file(path: str, letter_map: Dict[str, int]):
+    """Streaming variant of parse_seq_file: yields Seq records."""
+    with open(path, "r", encoding="utf-8") as f:
+        yield from iter_fasta(path, f, letter_map)

@@ -171,3 +171,21 @@ def test_tsv_value_formats():
     assert cells["seqY_id"] == "len512[2:]"
     assert cells["align.calc"] == "1.2346"
     assert cells["align.alloc"] == "0.0000"
+
+
+def test_iter_fasta_streaming_matches_batch(tmp_path):
+    """iter_fasta (the streaming reader) must yield exactly what
+    read_fasta loads, in file order, one record at a time."""
+    from gpuseqalign_tpu.io.fasta import iter_seq_file, parse_seq_file
+
+    lm = {"A": 0, "C": 1, "G": 2, "T": 3}
+    p = tmp_path / "s.fa"
+    p.write_text(">a one\nACGT\nAC\n\n>b\nGG TT\n>c info here\nA\n")
+    batch = parse_seq_file(str(p), lm)
+    streamed = list(iter_seq_file(str(p), lm))
+    assert [s.id for s in streamed] == list(batch.seq_map.keys())
+    for s in streamed:
+        b = batch.seq_map[s.id]
+        assert s.info == b.info
+        np.testing.assert_array_equal(s.seq, b.seq)
+    assert streamed[0].seq.tolist() == [0, 0, 1, 2, 3, 0, 1]
