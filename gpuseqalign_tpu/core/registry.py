@@ -88,6 +88,23 @@ def get_algorithm_map() -> Dict[str, Algorithm]:
     algs["tpu3_pallas_dense"] = dense(pallas_kernels.align_pallas_dense)
     algs["tpu7_pallas_mlsp"] = mlsp(pallas_kernels.align_pallas_mlsp)
 
+    # Distributed giant-pair engine (extension; no reference analog —
+    # the reference is single-GPU): one pair's columns split into one
+    # band per device, ppermute halo exchange per pipeline step. On TPU
+    # the per-band fill is the banded v2 Pallas kernel (all specs); on
+    # other backends the portable XLA giant engine (NW_LG).
+    def align_giant(pr, nw, res):
+        import jax
+
+        from ..parallel.giant import align_giant_mlsp
+        from ..parallel.giant2 import align_giant2
+
+        if jax.default_backend() == "tpu":
+            return align_giant2(pr, nw, res)
+        return align_giant_mlsp(pr, nw, res)
+
+    algs["tpu9_giant_mlsp"] = mlsp(align_giant)
+
     # Reference-name aliases (same objects).
     aliases = {
         "NwAlign_Cpu1_St_Row": "cpu1_st_row",

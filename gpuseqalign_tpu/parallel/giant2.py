@@ -238,9 +238,20 @@ def align_giant2(
     sw.start()
     rows = nw.adjrows - 1
     cols = nw.adjcols - 1
-    R = int(pr.get("tileBy", 0) or 128)
-    TW = int(pr.get("tileBx", 0) or 128)
-    K = int(pr.get("kChains", 0) or 2)
+    r_def, tw_def, k_def = 128, 128, 2
+    try:
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas_wavefront2 import tuned_defaults
+
+            tuned = tuned_defaults(spec.kind.value, spec.gap.value)
+            r_def = int(tuned.get("tileBy", r_def))
+            tw_def = int(tuned.get("tileBx", tw_def))
+            k_def = int(tuned.get("kChains", k_def))
+    except Exception:
+        pass
+    R = int(pr.get("tileBy", 0) or r_def)
+    TW = int(pr.get("tileBx", 0) or tw_def)
+    K = int(pr.get("kChains", 0) or k_def)
     band_cols = _cdiv(max(cols, 1), D * TW) * TW
     cols_p = band_cols * D
     n_pass = _cdiv(_cdiv(max(rows, 1), R), K)

@@ -220,6 +220,19 @@ def trace_sparse(nw: AlgInput, res: AlgResult, calc_debug_trace: bool) -> Status
     i = nw.adjrows - 1
     j = nw.adjcols - 1
     co = get_tile_and_elem_ij(nw, i, j)
+    # Normalize a start that lands exactly on a tile header row/column
+    # (elem == 0 with a neighbor tile): the same cell is the neighbor's
+    # last row/column, where the interior recompute can proceed. Without
+    # this the walk would see an empty (headers-only) tile and dead-end
+    # up the border. (The saturation in get_tile_and_elem_ij already does
+    # this for the LAST tile; this is the general-tile analog, matching
+    # the reference's mid-walk rebase, ref: src/nwtrace2_sparse.cpp:186-205.)
+    if co.i_elem == 0 and co.i_tile > 0:
+        co.i_tile -= 1
+        co.i_elem = nw.tile_hcol_len - 1
+    if co.j_elem == 0 and co.j_tile > 0:
+        co.j_tile -= 1
+        co.j_elem = nw.tile_hrow_len - 1
     align_tile(tile, nw, co)
 
     edits = []  # walk order (bottom-right to top-left)

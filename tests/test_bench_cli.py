@@ -46,6 +46,9 @@ ALGS = {
     "tpu2_xla_rowscan": {},
     "tpu3_pallas_dense": {},
     "tpu7_pallas_mlsp": {"tileBy": [16, 128], "tileBx": [48, 512]},
+    # Distributed giant-pair engine (XLA giant over the 8 virtual CPU
+    # devices here; the banded Pallas kernel on TPU).
+    "tpu9_giant_mlsp": {"blockH": [64]},
 }
 
 
