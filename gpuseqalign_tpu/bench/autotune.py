@@ -106,9 +106,11 @@ def tune(
 
 DEFAULT_V2_GRID = {
     # (R, TW, K) candidates for the flagship v2 kernel; W = min(512, TW).
+    # Measured cliffs on v5e: K=7+ collapses or fails compile for nw
+    # specs; affine fits K=4 (K=5 spills).
     "tileBy": [2048],
     "tileBx": [2048],
-    "kChains": [2, 3, 4, 6, 8],
+    "kChains": [3, 4, 5, 6],
 }
 
 

@@ -32,8 +32,10 @@ Covers all four specs. NW linear-gap is the reference's mlsp surface
 carry diagonals, an F header-row / E header-col sparse stream (the tile
 dependencies under affine gaps), and a second predecessor-row buffer; SW
 adds the zero clamp and per-lane running-argmax with first-occurrence
-step capture. Measured on v5e at 23728^2 (R=TW=2048): nw_lg 55.9 GCUPS
-(K=6), sw_lg 50.0 (K=6), nw_ag 38.7 (K=4), sw_ag 33.6 (K=3).
+step capture. Measured on v5e at 23728^2 (R=TW=2048), after dropping
+the blanket validity mask (dead-lane junk is structurally never read —
+see the comment in the hot loop): nw_lg 57.4 GCUPS (K=6), sw_lg 47.6
+(K=6), nw_ag 40.4 (K=4), sw_ag 38.6 (K=4).
 """
 
 from __future__ import annotations
@@ -329,7 +331,21 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     # sh1p (last step's sh1) has lane0 == prevH[c] — exactly
                     # the diagonal operand's header fill.
                     diag = jnp.where(i2d == c, dhdrs[k], sh1p)
-                    valid = (i2d <= c) & (i2d > c - cols_p)
+                    # NO blanket validity mask (measured ~4 vector ops/step
+                    # saved): dead lanes — ahead of the wavefront (i2d > c)
+                    # or past the matrix width (u = c - i2d >= cols_p) —
+                    # carry junk that is structurally never read:
+                    #   * every real cell's operands are header-injected
+                    #     (the i2d == c selects) or come from live lanes;
+                    #   * prow/prevb stores are gated to real columns, and
+                    #     acc flushes that could hold dead-lane captures
+                    #     land in out blocks no reader consumes (jl == 0 /
+                    #     clipped drain blocks past tcols);
+                    #   * NW junk drifts from NEG_INF_I32 by at most
+                    #     max(subst) per step, staying far below any real
+                    #     score for NS < ~6e6 steps (int32 head/floor room
+                    #     ~1e9); SW's argmax gets an explicit front-lane
+                    #     guard below instead.
                     if not affine:
                         left = jnp.where(i2d == c, hdrHs[k], v1)
                         cell = jnp.maximum(
@@ -347,20 +363,19 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         cell = jnp.maximum(
                             diag + s, jnp.maximum(e_new, f_new)
                         )
-                        e_new = jnp.where(valid, e_new, ninf)
-                        f_new = jnp.where(valid, f_new, ninf)
                     if is_sw:
                         cell = jnp.maximum(cell, 0)
-                    cell = jnp.where(valid, cell, ninf)
 
                     blk = bb if batch else bb * K + k
                     if is_sw:
                         # Per-lane running max + first-occurrence step; pad
                         # rows/cols excluded (pad letters score like real
-                        # ones under the zero clamp).
+                        # ones under the zero clamp), and front lanes
+                        # excluded (their zero-clamped junk would look
+                        # real without the blanket mask above).
                         iok = 1 + blk * R + i2d <= adjrs[k] - 1
                         uok = i2d >= c - adjcs[k] + 2
-                        upd = (cell > bv) & iok & uok
+                        upd = (cell > bv) & iok & uok & (i2d <= c)
                         bv = jnp.where(upd, cell, bv)
                         bc = jnp.where(upd, c, bc)
                     if capture_cost:
@@ -1038,14 +1053,14 @@ def _is_compile_resource_error(e: Exception) -> bool:
 
 K_MAX_DEFAULT = {
     # Fallback only — the live defaults come from the autotuner cache
-    # (tuned_defaults below). Measured on v5e at 23728^2, R=TW=2048.
-    # Above these the per-chain carry state spills registers and Mosaic
-    # fails to compile (scoped vmem stack OOM) or collapses (K=8 nw_lg:
-    # 8.2 GCUPS).
-    ("nw", "linear"): 6,   # 55.9 GCUPS
-    ("sw", "linear"): 6,   # 50.0 GCUPS
-    ("nw", "affine"): 4,   # 38.7 GCUPS
-    ("sw", "affine"): 3,   # 33.6 GCUPS
+    # (tuned_defaults below). Measured on v5e at 23728^2, R=TW=2048,
+    # post mask-drop (2026-08-17). Above these the per-chain carry state
+    # spills registers and Mosaic fails to compile (scoped vmem stack
+    # OOM) or collapses (K=7 nw_lg: ~11 GCUPS).
+    ("nw", "linear"): 6,   # 57.4 GCUPS
+    ("sw", "linear"): 6,   # 47.6 GCUPS
+    ("nw", "affine"): 4,   # 40.4 GCUPS
+    ("sw", "affine"): 4,   # 38.6 GCUPS (K=4 fits since the mask drop)
 }
 
 _TUNED_CACHE: "dict | None" = None
