@@ -84,6 +84,7 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
     kernel, _, _ = _make_kernel(
         K=K, SUB=SUB, W=W, CH=CH, cols_p=band_cols, R=R, TW=TW,
         OFF=OFF, prev_len=prev_len, B=K, kind=kind, gap=gap, banded=True,
+        masked=interpret,
     )
 
     # SMEM scalar vector: [gapo, gape] + adjr_loc*K + adjc_loc*K + seeds*K

@@ -60,7 +60,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                  TW: int, OFF: int, prev_len: int, B: int,
                  kind: str = "nw", gap: str = "linear",
                  batch: bool = False, capture_cost: bool = False,
-                 banded: bool = False, dense: bool = False):
+                 banded: bool = False, dense: bool = False,
+                 masked: bool = False):
     """Kernel factory shared by the full-matrix, batched and BANDED forms.
 
     ``banded`` (the per-device compute of the multi-chip giant engine,
@@ -69,6 +70,14 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
     left-edge header column from ``hcolin``/``dcolin``/``ecolin`` (the ICI
     halo), and the per-chain output-row j==0 seeds from SMEM. The grid is
     then (CH,) — one pass of K row blocks over one column band.
+
+    ``masked`` re-enables the blanket dead-lane validity mask the
+    production kernel drops (see the hot-loop comment — outputs are
+    identical either way). Interpret-mode callers set it because the
+    XLA:CPU backend's LLVM pipeline explodes (70+ min compiles) on the
+    fully-live unmasked 128-step body, while Mosaic/TPU compiles it fine;
+    the masked variant keeps the test battery tractable and the unmasked
+    production kernel is verified on hardware by the differential drive.
     """
     ninf = NEG_INF_I32
     n_win = W // 128
@@ -331,10 +340,11 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     # sh1p (last step's sh1) has lane0 == prevH[c] — exactly
                     # the diagonal operand's header fill.
                     diag = jnp.where(i2d == c, dhdrs[k], sh1p)
-                    # NO blanket validity mask (measured ~4 vector ops/step
-                    # saved): dead lanes — ahead of the wavefront (i2d > c)
-                    # or past the matrix width (u = c - i2d >= cols_p) —
-                    # carry junk that is structurally never read:
+                    # NO blanket validity mask in production (measured ~4
+                    # vector ops/step saved): dead lanes — ahead of the
+                    # wavefront (i2d > c) or past the matrix width
+                    # (u = c - i2d >= cols_p) — carry junk that is
+                    # structurally never read:
                     #   * every real cell's operands are header-injected
                     #     (the i2d == c selects) or come from live lanes;
                     #   * prow/prevb stores are gated to real columns, and
@@ -346,6 +356,10 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     #     score for NS < ~6e6 steps (int32 head/floor room
                     #     ~1e9); SW's argmax gets an explicit front-lane
                     #     guard below instead.
+                    # `masked` (interpret mode) re-applies the mask — same
+                    # outputs, tractable XLA:CPU compile (see factory doc).
+                    if masked:
+                        valid = (i2d <= c) & (i2d > c - cols_p)
                     if not affine:
                         left = jnp.where(i2d == c, hdrHs[k], v1)
                         cell = jnp.maximum(
@@ -363,8 +377,13 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         cell = jnp.maximum(
                             diag + s, jnp.maximum(e_new, f_new)
                         )
+                        if masked:
+                            e_new = jnp.where(valid, e_new, ninf)
+                            f_new = jnp.where(valid, f_new, ninf)
                     if is_sw:
                         cell = jnp.maximum(cell, 0)
+                    if masked:
+                        cell = jnp.where(valid, cell, ninf)
 
                     blk = bb if batch else bb * K + k
                     if is_sw:
@@ -549,6 +568,7 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
     kernel, q, _ = _make_kernel(
         K=K, SUB=SUB, W=W, CH=CH, cols_p=cols_p, R=R, TW=TW, OFF=OFF,
         prev_len=prev_len, B=B, kind=kind, gap=gap,
+        masked=interpret,
     )
     gmat = jnp.stack(
         [jnp.int32(gapo), jnp.int32(gape)]
@@ -728,6 +748,7 @@ def pallas_dense_v2(subst, Y, X, gapo, gape, *, R: int, W: int, TW: int,
     kernel, q, _ = _make_kernel(
         K=K, SUB=SUB, W=W, CH=CH, cols_p=cols_p, R=R, TW=TW, OFF=OFF,
         prev_len=prev_len, B=B, kind=kind, gap=gap, dense=True,
+        masked=interpret,
     )
     gmat = jnp.stack(
         [jnp.int32(gapo), jnp.int32(gape)]
@@ -890,7 +911,7 @@ def pallas_mlsp_batch_v2(subst, Ys, Xs, gapo, gape, adjrs, adjcs, *,
     kernel, q, _ = _make_kernel(
         K=K, SUB=SUB, W=W, CH=CH, cols_p=cols_p, R=R, TW=TW, OFF=OFF,
         prev_len=prev_len, B=B, kind=kind, gap=gap, batch=True,
-        capture_cost=True,
+        capture_cost=True, masked=interpret,
     )
     gmat = jnp.concatenate([
         jnp.stack([jnp.int32(gapo), jnp.int32(gape)]),
@@ -1126,7 +1147,11 @@ def align_dense_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     if tile_by and tile_by % 128 == 0:
         R = tile_by
     else:
-        R = min(1024, max(128, _cdiv(max(rows, 1), 128) * 128))
+        # Power-of-two row blocks so mixed-size sweeps share at most 4
+        # compiled kernels (128/256/512/1024) instead of one per shape.
+        R = 128
+        while R < min(rows, 1024):
+            R *= 2
     TW = R
     W = min(512, TW)
     B = _cdiv(max(rows, 1), R)
@@ -1137,7 +1162,11 @@ def align_dense_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     K = choose_k(B, k_max)
     B_p = _cdiv(B, K) * K
     rows_p = B_p * R
-    cols_p = _cdiv(max(cols, 1), 128) * 128
+    # Columns bucket to powers of two (floor 128) for the same
+    # compile-sharing reason; at most 2x padded cells.
+    cols_p = 128
+    while cols_p < cols:
+        cols_p *= 2
     y = np.zeros(1 + rows_p, np.int32)
     x = np.zeros(1 + cols_p, np.int32)
     y[: nw.adjrows] = nw.seqY

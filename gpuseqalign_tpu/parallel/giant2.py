@@ -10,7 +10,15 @@ each chip contributes ~its single-pair v2 throughput.
 Pipeline: pass p covers K row blocks; at step t device k runs pass t - k.
 The halo message per step is (K*R + 1) int32 H values (plus K*R E values
 for affine specs — a tile's left-column dependency set under Gotoh is the
-(H, E) pair, see core/types.py AlignSpec). NW linear-gap is the
+(H, E) pair, see core/types.py AlignSpec).
+
+Efficiency model: the scan runs n_pass + D - 1 steps of which each
+device computes during n_pass, so the fill/drain bubble bounds
+per-device utilization at n_pass / (n_pass + D - 1) — e.g. a 100k-row
+pair at R=2048, K=4 has n_pass = 13, so 13/16 = 81% at D=4 before ICI
+costs. Choose K*R (the rows per pass) small enough that n_pass >> D.
+bench/scaling_report.py measures the realized ratio on a CPU mesh
+("giant_pair": D=4 per-device GCUPS over D=1). NW linear-gap is the
 reference's mlsp surface (ref: src/nwalign_gpu7_mlsp_diagdiag.cu:247-285
 lifted across chips); NW_AG / SW_LG / SW_AG are capability extensions
 verified against models/oracle.py. SW's global argmax is reduced from the
