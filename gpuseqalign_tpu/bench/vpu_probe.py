@@ -166,6 +166,221 @@ def probe_skeleton(affine: bool) -> dict:
     return res
 
 
+def probe_fullstep(K: int = 4, variants=None) -> dict:
+    """The PRODUCTION nw_lg step (not the skeleton) with ablation toggles,
+    128-step-unrolled like the real kernel. Each variant isolates one
+    candidate optimization so kernel changes are measurement-driven:
+
+      base      faithful production body: fillx roll + xd shift2 + 8-plane
+                packed lookup + fill1 roll + sh1 shift2 + header selects +
+                max-plus + bottom-row capture + hcol acc capture
+      nolookup  drop the substitution lookup (s = const) — its total cost
+      lookup6   6-plane select tree (substsz <= 24) + xd pre-scaled by 8
+                (byte shift = xd & 24, plane index = xd >> 5)
+      smemx     deliver the entering X letter from an SMEM scalar read
+                instead of the per-step fillx lane roll
+      noheader  drop the diag/left header injections (valid only for
+                steps past the fill phase, c >= R — a region-split body)
+      lean      smemx + lookup6 + noheader combined
+    """
+    variants = variants or ["base", "nolookup", "lookup6", "smemx",
+                            "noheader", "lean"]
+    a8 = jnp.ones((SUB, 128), jnp.int32)
+    planes = jnp.ones((8, SUB, 128), jnp.int32)
+    xs = jnp.ones((1, 1024), jnp.int32)
+    res = {}
+
+    def make_run(m, *, nolookup=False, planes6=False, smemx=False,
+                 noheader=False, interpret=False):
+        def kernel(xs_ref, a_ref, planes_ref, o_ref):
+            a = a_ref[...]
+            g = jnp.int32(-11)
+            l_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
+            l_row = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            i2d = (
+                jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0) * 128
+                + l_iota
+            )
+            P = [planes_ref[p] for p in range(8)]
+            pw = a[0:1, :]
+
+            def shift2(v, f):
+                b = pltpu.roll(v, 1, axis=1)
+                c = pltpu.roll(b, 1, axis=0)
+                out = jnp.where(l_iota == 0, c, b)
+                return jnp.where(i2d == 0, f, out)
+
+            NC = 5
+
+            def body(w, carry):
+                vs = list(carry)
+                clocs = [w * 128 + 511 - k for k in range(K)]
+                selbs = [jnp.mod(clocs[k] + 1, 2048) for k in range(K)]
+                for tt in range(128):
+                    for k in range(K):
+                        v1, sh1p, xd, acc, prow = vs[NC * k: NC * (k + 1)]
+                        c = clocs[k] + tt
+                        # --- substitution operand ---
+                        if smemx:
+                            xval = xs_ref[0, jnp.mod(c + 1, 1024)]
+                            xd = shift2(xd, jnp.full(
+                                (SUB, 128), xval, jnp.int32))
+                        else:
+                            fillx = (
+                                pltpu.roll(a, 128 - tt, axis=1)
+                                if tt else a
+                            )
+                            xd = shift2(xd, fillx)
+                        if nolookup:
+                            s = xd
+                        elif planes6:
+                            wi = xd >> 5
+                            b0 = (wi & 1) > 0
+                            b1 = (wi & 2) > 0
+                            b2 = (wi & 4) > 0
+                            t01 = jnp.where(b0, P[1], P[0])
+                            t23 = jnp.where(b0, P[3], P[2])
+                            t45 = jnp.where(b0, P[5], P[4])
+                            q0 = jnp.where(b1, t23, t01)
+                            word = jnp.where(b2, t45, q0)
+                            s = ((word >> (xd & 24)) & 255) - 128
+                        else:
+                            wi = xd >> 2
+                            b0 = (wi & 1) > 0
+                            b1 = (wi & 2) > 0
+                            b2 = (wi & 4) > 0
+                            t01 = jnp.where(b0, P[1], P[0])
+                            t23 = jnp.where(b0, P[3], P[2])
+                            t45 = jnp.where(b0, P[5], P[4])
+                            t67 = jnp.where(b0, P[7], P[6])
+                            q0 = jnp.where(b1, t23, t01)
+                            q1 = jnp.where(b1, t67, t45)
+                            word = jnp.where(b2, q1, q0)
+                            s = ((word >> ((xd & 3) << 3)) & 255) - 128
+                        # --- DP step ---
+                        fill1 = pltpu.roll(pw, 127 - tt, axis=1)
+                        sh1 = shift2(v1, fill1)
+                        if noheader:
+                            diag = sh1p
+                            left = v1
+                        else:
+                            diag = jnp.where(i2d == c, c + g, sh1p)
+                            left = jnp.where(i2d == c, c * g, v1)
+                        cell = jnp.maximum(
+                            diag + s, jnp.maximum(sh1, left) + g
+                        )
+                        # --- captures ---
+                        sel_p = (tt + 2) % 128
+                        bot = cell[SUB - 1:SUB, :]
+                        last = pltpu.roll(bot, (sel_p + 1) % 128, axis=1)
+                        prow = jnp.where(
+                            (l_row == sel_p) & (c >= 2047), last, prow
+                        )
+                        sel = selbs[k] + tt
+                        sel = sel - jnp.where(sel >= 2048, 2048, 0)
+                        acc = jnp.where(i2d == sel, cell, acc)
+                        vs[NC * k: NC * (k + 1)] = [cell, sh1, xd, acc,
+                                                    prow]
+                return tuple(vs)
+
+            init = []
+            for k in range(K):
+                init += [a + k, a + k + 1, a & 31, a, a[0:1, :]]
+            out = jax.lax.fori_loop(0, m, body, tuple(init))
+            # Consume EVERY carry so no chain is dead-code-eliminable.
+            s = out[0]
+            for i, v in enumerate(out[1:]):
+                s = jnp.maximum(s, v[0:1, :] if v.shape[0] == 1 else v)
+            o_ref[0:1, :] = s[0:1, :]
+
+        @jax.jit
+        def run(xs_a, a, pl_a):
+            return pl.pallas_call(
+                kernel,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_shape=jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                interpret=interpret,
+            )(xs_a, a, pl_a)
+
+        return run
+
+    if variants == ["__check__"]:  # CPU interpret-mode trace check
+        for name, kw in [("base", {}), ("lean", {"smemx": True,
+                                                 "planes6": True,
+                                                 "noheader": True})]:
+            r = make_run(1, interpret=True, **kw)
+            np.asarray(jax.device_get(r(xs, a8, planes)))
+        return {"check": "ok"}
+
+    flags = {
+        "base": {},
+        "nolookup": {"nolookup": True},
+        "lookup6": {"planes6": True},
+        "smemx": {"smemx": True},
+        "noheader": {"noheader": True},
+        "lean": {"smemx": True, "planes6": True, "noheader": True},
+    }
+    for name in variants:
+        kw = flags[name]
+
+        def mk(m, kw=kw):
+            r = make_run(m, **kw)
+            return lambda a: r(xs, a, planes)
+
+        dt = _time_pair(mk, a8, 200, 1200)  # dt per window (128 steps)
+        ns_step = dt * 1e9 / (128 * K)
+        res[name] = {
+            "ns_per_chain_step": round(ns_step, 3),
+            "gcups": round(K * SUB * 128 * 128 / dt / 1e9, 2),
+        }
+    return res
+
+
+def probe_int16() -> dict:
+    """int32 vs int16 ALU issue throughput (does sub-word double it?).
+    12 independent add+max chains, everything kept in the probed dtype."""
+    out = {}
+    NCH = 12
+    for dt_name, dt in (("i32", jnp.int32), ("i16", jnp.int16)):
+        a = jnp.ones((SUB, 128), dt)
+
+        def mk(m, dt=dt):
+            def kernel(a_ref, o_ref):
+                a = a_ref[...]
+                seven = jnp.asarray(7, dt)
+
+                def body(i, carry):
+                    return tuple(
+                        jnp.maximum(c + a, a + seven) for c in carry
+                    )
+
+                carry = tuple(
+                    a + jnp.asarray(k, dt) for k in range(NCH)
+                )
+                vs = jax.lax.fori_loop(0, m, body, carry)
+                s = vs[0]
+                for v in vs[1:]:
+                    s = jnp.maximum(s, v)
+                o_ref[0:1, :] = s[0:1, :]
+
+            @jax.jit
+            def run(a):
+                return pl.pallas_call(
+                    kernel,
+                    out_shape=jax.ShapeDtypeStruct((1, 128), dt),
+                )(a)
+
+            return run
+
+        d = _time_pair(mk, a, 100_000, 600_000)
+        out[dt_name] = {"ns_per_op": round(d * 1e9 / (NCH * 2), 3)}
+    return out
+
+
 def main(argv) -> int:
     which = argv[1] if len(argv) > 1 else "all"
     if jax.default_backend() != "tpu":
@@ -184,6 +399,15 @@ def main(argv) -> int:
             "probe": "skeleton_nw_ag", "device": dev,
             **probe_skeleton(True),
         }))
+    if which in ("fullstep", "all"):
+        K = int(argv[2]) if len(argv) > 2 else 4
+        print(json.dumps({
+            "probe": "fullstep_nw_lg", "device": dev, "K": K,
+            **probe_fullstep(K),
+        }))
+    if which in ("int16", "all"):
+        print(json.dumps({"probe": "int16", "device": dev,
+                          **probe_int16()}))
     return 0
 
 
