@@ -38,12 +38,25 @@ sys.path.insert(0, REPO)
 PAIR_N = 23728
 ORACLE_N = 4096
 M_ITERS = 8
-# Tuned on v5e (2026-08): R=TW=2048, W=512; NW_AG runs K=4 chains
-# (38.7 GCUPS; NW_LG reaches 55.9 at K=6 but the BASELINE.json headline
-# metric is "GCUPS/chip on NW affine-gap").
-R, W, TW, K = 2048, 512, 2048, 4
 KIND, GAP = "nw", "affine"
 GAPO, GAPE = -11, -2
+
+
+def _kernel_params():
+    """(R, W, TW, K) for the benched spec — from the autotuner cache
+    (resrc/tuned/<device_kind>.json, written by
+    `python -m gpuseqalign_tpu.bench.autotune --save-defaults`), with the
+    measured v5e literals as fallback."""
+    from gpuseqalign_tpu.ops.pallas_wavefront2 import tuned_defaults
+
+    ent = tuned_defaults(KIND, GAP)
+    R = int(ent.get("tileBy", 2048))
+    TW = int(ent.get("tileBx", 2048))
+    K = int(ent.get("kChains", 4))
+    return R, min(512, TW), TW, K
+
+
+R, W, TW, K = 2048, 512, 2048, 4  # set in main() from the tuned cache
 
 # Measured skeleton rooflines (GCUPS/chip on the v5e) at the kernel's own
 # K_max — the sustained rate of the irreducible wavefront step (carry
@@ -159,6 +172,8 @@ def main() -> int:
     from gpuseqalign_tpu.core.types import AlgInput, AlgParams, AlgResult, Status
     from gpuseqalign_tpu.models.cpu_algs import align_cpu1_st_row
 
+    global R, W, TW, K
+    R, W, TW, K = _kernel_params()
     subst, y = _load_fixture()
     on_tpu = jax.default_backend() == "tpu"
     rows = cols = len(y) - 1

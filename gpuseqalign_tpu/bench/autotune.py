@@ -106,8 +106,9 @@ def tune(
 
 DEFAULT_V2_GRID = {
     # (R, TW, K) candidates for the flagship v2 kernel; W = min(512, TW).
-    # Measured cliffs on v5e: K=7+ collapses or fails compile for nw
-    # specs; affine fits K=4 (K=5 spills).
+    # Measured cliffs on v5e (wrap echelon, 2026-08): K=7+ collapses on
+    # register spills (~13 GCUPS) or fails compile; affine fits K=4
+    # (K=5 fails); R=1024 variants are strictly worse.
     "tileBy": [2048],
     "tileBx": [2048],
     "kChains": [3, 4, 5, 6],

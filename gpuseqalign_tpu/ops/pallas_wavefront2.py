@@ -32,10 +32,12 @@ Covers all four specs. NW linear-gap is the reference's mlsp surface
 carry diagonals, an F header-row / E header-col sparse stream (the tile
 dependencies under affine gaps), and a second predecessor-row buffer; SW
 adds the zero clamp and per-lane running-argmax with first-occurrence
-step capture. Measured on v5e at 23728^2 (R=TW=2048), after dropping
-the blanket validity mask (dead-lane junk is structurally never read —
-see the comment in the hot loop): nw_lg 57.4 GCUPS (K=6), sw_lg 47.6
-(K=6), nw_ag 40.4 (K=4), sw_ag 38.6 (K=4).
+step capture. The grid is the CONTINUOUS (wrap) echelon whenever the
+matrix is wide enough (see _make_kernel): chains roll into their next
+row block without the per-pass pipeline drain the original (BB, CH)
+grid paid. Measured on v5e at 23728^2 (R=TW=2048), unmasked + wrap:
+nw_lg 72.8 GCUPS (K=6), sw_lg 56.9 (K=4), nw_ag 45.5 (K=4),
+sw_ag 45.2 (K=4).
 """
 
 from __future__ import annotations
@@ -61,7 +63,7 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                  kind: str = "nw", gap: str = "linear",
                  batch: bool = False, capture_cost: bool = False,
                  banded: bool = False, dense: bool = False,
-                 masked: bool = False):
+                 masked: bool = False, wrap: bool = False):
     """Kernel factory shared by the full-matrix, batched and BANDED forms.
 
     ``banded`` (the per-device compute of the multi-chip giant engine,
@@ -78,6 +80,20 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
     fully-live unmasked 128-step body, while Mosaic/TPU compiles it fine;
     the masked variant keeps the test battery tractable and the unmasked
     production kernel is verified on hardware by the differential drive.
+
+    ``wrap`` is the CONTINUOUS echelon: instead of a (BB, CH) grid where
+    every pass of K row blocks pays a full (K-1)*OFF pipeline drain, the
+    grid is one chunk axis and chain k rolls straight into row block
+    blk + K when its current block ends — per-chain carry re-init at
+    block starts, per-chain output flush at block ends, (K-1)*OFF fill
+    paid ONCE per matrix instead of once per pass. Measured motivation:
+    the fullstep probe shows the step body runs at ~22.8 ns/chain-step
+    (89.7 GCUPS at K=4) while the passed grid achieves 54.7 — the gap is
+    almost entirely inter-pass drain (chain-step utilization ~68% at
+    23728^2), not body ops. Cross-pass hazard: chain 0 of group g reads
+    the predecessor row chain K-1 (group g-1) is still writing; safe
+    while its write frontier leads the read frontier, i.e.
+    NSpad >= (K-1)*OFF + R + W + 256 (the caller guards).
     """
     ninf = NEG_INF_I32
     n_win = W // 128
@@ -87,7 +103,10 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
     affine = gap == "affine"
     assert not (banded and (batch or capture_cost))
     assert not (dense and (batch or banded))
+    assert not (wrap and (batch or banded or dense))
     NSpad = prev_len - 128
+    SPB = NSpad // W  # wrap mode: chunks per row block
+    BBtot = B // K if K else 1
 
     def kernel(*refs):
         g_ref = refs[0]
@@ -133,12 +152,27 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
         if capture_cost:
             costs_s = refs[pos]; pos += 1
 
-        if banded:
+        if wrap:
+            # Continuous echelon: one chunk axis; chain k's row block and
+            # within-block chunk derive from its offset local chunk. The
+            # clip pins bubble phases (before the chain's first block /
+            # after its last) to a real block whose gated stores then
+            # land only in ignored slots (tile 0 / past-tcols tiles).
+            bb = None
+            ch = pl.program_id(0)
+            lchs = [ch - k * offw for k in range(K)]
+            bbks = [jnp.clip(lchs[k] // SPB, 0, BBtot - 1)
+                    for k in range(K)]
+            wchs = [lchs[k] - bbks[k] * SPB for k in range(K)]
+            blks = [bbks[k] * K + k for k in range(K)]
+        elif banded:
             bb = jnp.int32(0)
             ch = pl.program_id(0)
+            blks = [jnp.int32(k) for k in range(K)]
         else:
             bb = pl.program_id(0)
             ch = pl.program_id(1)
+            blks = [bb if batch else bb * K + k for k in range(K)]
         g = g_ref[0, 0]
         ge = g_ref[0, 1]
         # In banded mode these are BAND-LOCAL dims: adjr_loc = adjr - row0
@@ -169,7 +203,7 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         jnp.maximum(ecolin[k], hcolin[k] + g) + ge
                     )
                 continue
-            blk0 = bb if batch else bb * K + k
+            blk0 = blks[k]
             io = 1 + blk0 * R + i2d
             if is_sw:
                 hdrH = jnp.zeros((SUB, 128), jnp.int32)
@@ -185,66 +219,84 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
             if affine:
                 ehdrs.append(hdrH + g + ge)
 
-        @pl.when(ch == 0)
-        def _init():
-            @pl.when(bb == 0)
-            def _():
-                # Predecessor row: in echelon mode only chain K-1's
-                # buffer (chain 0 of pass 0 reads it as its predecessor);
-                # in batch mode every chain is its own pair and starts
-                # from the header row. Banded mode takes the previous
-                # pass's output rows as inputs instead of the analytic
-                # header row.
-                if banded:
-                    prevb[K - 1][0:1, :] = previn[0:1, :]
-                    if affine:
-                        prevf[K - 1][0:1, :] = prevFin[0:1, :]
-                    return
-                jidx = jax.lax.broadcasted_iota(jnp.int32, (1, prev_len), 1)
-                hdr_targets = range(K) if batch else (K - 1,)
-                for kk in hdr_targets:
-                    if is_sw:
-                        prevb[kk][0:1, :] = jnp.zeros(
-                            (1, prev_len), jnp.int32
-                        )
-                    elif affine:
-                        prevb[kk][0:1, :] = jnp.where(
-                            jidx == 0, 0, g + jidx * ge
-                        )
-                    else:
-                        prevb[kk][0:1, :] = jidx * g
-                    if affine:
-                        prevf[kk][0:1, :] = jnp.full(
-                            (1, prev_len), ninf, jnp.int32
-                        )
-            for k in range(K):
-                v1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
-                shps[k] = jnp.full((SUB, 128), ninf, jnp.int32)
-                xds[k] = jnp.zeros((SUB, 128), jnp.int32)
-                accs[k] = jnp.full((SUB, 128), ninf, jnp.int32)
-                # prow window accumulator; j == 0 header element seeded
-                # (banded: H[(blk+1)R, c0] from the halo, via SMEM).
-                if banded:
-                    seed = seeds[k]
-                else:
-                    blk0 = bb if batch else bb * K + k
-                    if is_sw:
-                        seed = jnp.int32(0)
-                    elif affine:
-                        seed = g + ((blk0 + 1) * R) * ge
-                    else:
-                        seed = ((blk0 + 1) * R) * g
-                prows[k] = jnp.where(l_row == 0, seed, jnp.int32(ninf))
+        def seed_header():
+            # Predecessor row: in echelon mode only chain K-1's
+            # buffer (chain 0 of pass 0 reads it as its predecessor);
+            # in batch mode every chain is its own pair and starts
+            # from the header row. Banded mode takes the previous
+            # pass's output rows as inputs instead of the analytic
+            # header row.
+            if banded:
+                prevb[K - 1][0:1, :] = previn[0:1, :]
                 if affine:
-                    e1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
-                    f1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
-                    accEs[k] = jnp.full((SUB, 128), ninf, jnp.int32)
-                    prowFs[k] = jnp.full((1, 128), ninf, jnp.int32)
+                    prevf[K - 1][0:1, :] = prevFin[0:1, :]
+                return
+            jidx = jax.lax.broadcasted_iota(jnp.int32, (1, prev_len), 1)
+            hdr_targets = range(K) if batch else (K - 1,)
+            for kk in hdr_targets:
                 if is_sw:
-                    bvs[k] = jnp.zeros((SUB, 128), jnp.int32)
-                    bcs[k] = jnp.zeros((SUB, 128), jnp.int32)
-                if capture_cost:
-                    costs_s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
+                    prevb[kk][0:1, :] = jnp.zeros(
+                        (1, prev_len), jnp.int32
+                    )
+                elif affine:
+                    prevb[kk][0:1, :] = jnp.where(
+                        jidx == 0, 0, g + jidx * ge
+                    )
+                else:
+                    prevb[kk][0:1, :] = jidx * g
+                if affine:
+                    prevf[kk][0:1, :] = jnp.full(
+                        (1, prev_len), ninf, jnp.int32
+                    )
+
+        def init_chain(k):
+            v1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
+            shps[k] = jnp.full((SUB, 128), ninf, jnp.int32)
+            xds[k] = jnp.zeros((SUB, 128), jnp.int32)
+            accs[k] = jnp.full((SUB, 128), ninf, jnp.int32)
+            # prow window accumulator; j == 0 header element seeded
+            # (banded: H[(blk+1)R, c0] from the halo, via SMEM).
+            if banded:
+                seed = seeds[k]
+            else:
+                blk0 = blks[k]
+                if is_sw:
+                    seed = jnp.int32(0)
+                elif affine:
+                    seed = g + ((blk0 + 1) * R) * ge
+                else:
+                    seed = ((blk0 + 1) * R) * g
+            prows[k] = jnp.where(l_row == 0, seed, jnp.int32(ninf))
+            if affine:
+                e1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
+                f1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
+                accEs[k] = jnp.full((SUB, 128), ninf, jnp.int32)
+                prowFs[k] = jnp.full((1, 128), ninf, jnp.int32)
+            if is_sw:
+                bvs[k] = jnp.zeros((SUB, 128), jnp.int32)
+                bcs[k] = jnp.zeros((SUB, 128), jnp.int32)
+            if capture_cost:
+                costs_s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
+
+        if wrap:
+            @pl.when(ch == 0)
+            def _seed():
+                seed_header()
+            # Per-chain carry re-init at each of the chain's block starts
+            # (during a chain's pre-start bubble its carries are garbage,
+            # but every store it could make is gated to ignored slots).
+            for k in range(K):
+                @pl.when(wchs[k] == 0)
+                def _init_k(k=k):
+                    init_chain(k)
+        else:
+            @pl.when(ch == 0)
+            def _init():
+                @pl.when(bb == 0)
+                def _():
+                    seed_header()
+                for k in range(K):
+                    init_chain(k)
 
         def shift2(v, fill):
             # out[i] = v[i-1] (linear, not circular); out[0] = fill's lane 0.
@@ -271,13 +323,14 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
             xws = [xw_refs[k][0, pl.ds(w, 1), :] for k in range(K)]
             # Per-window scalars (hoisted: per-step modulo/compare scalar
             # work measurably stalls the vector pipeline).
-            clocs = [ch * W + w * 128 - k * OFF for k in range(K)]
+            if wrap:
+                clocs = [wchs[k] * W + w * 128 for k in range(K)]
+            else:
+                clocs = [ch * W + w * 128 - k * OFF for k in range(K)]
             selbs = [jnp.mod(clocs[k] + 1, TW) for k in range(K)]
             pws = []
             for k in range(K):
-                cwk = pl.multiple_of(
-                    jnp.maximum(ch * W + w * 128 - k * OFF, 0), 128
-                )
+                cwk = pl.multiple_of(jnp.maximum(clocs[k], 0), 128)
                 # Clamp so drain-phase reads stay inside the buffer (OOB
                 # VMEM accesses are NOT clamped on real TPUs — they spill
                 # into the adjacent allocation).
@@ -385,7 +438,7 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     if masked:
                         cell = jnp.where(valid, cell, ninf)
 
-                    blk = bb if batch else bb * K + k
+                    blk = blks[k]
                     if is_sw:
                         # Per-lane running max + first-occurrence step; pad
                         # rows/cols excluded (pad letters score like real
@@ -423,7 +476,7 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     if affine:
                         prowF = bot_capture(f_new, prowF, sel_p, gate)
                     if sel_p == 127:
-                        cwk = jnp.maximum(ch * W + w * 128 - k * OFF, 0)
+                        cwk = jnp.maximum(clocs[k], 0)
 
                         # Upper gate: windows past cols_p are drain-phase
                         # junk AND would store out of bounds (real-TPU OOB
@@ -492,17 +545,30 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
             if capture_cost:
                 costs_s[k] = st[NCAR - 1]
 
-        @pl.when(ch == CH - 1)
-        def _fin():
+        if wrap:
+            # Per-chain output flush at the chain's block END (the out
+            # block index moves to the next row block right after).
             for k in range(K):
-                hrow_refs[k][0, 0, :] = prevb[k][0, :]
-                if affine:
-                    frow_refs[k][0, 0, :] = prevf[k][0, :]
-                if is_sw:
-                    bv_refs[k][0] = bvs[k]
-                    bc_refs[k][0] = bcs[k]
-                if capture_cost:
-                    cost_refs[k][0] = costs_s[k]
+                @pl.when(wchs[k] == SPB - 1)
+                def _fin_k(k=k):
+                    hrow_refs[k][0, 0, :] = prevb[k][0, :]
+                    if affine:
+                        frow_refs[k][0, 0, :] = prevf[k][0, :]
+                    if is_sw:
+                        bv_refs[k][0] = bvs[k]
+                        bc_refs[k][0] = bcs[k]
+        else:
+            @pl.when(ch == CH - 1)
+            def _fin():
+                for k in range(K):
+                    hrow_refs[k][0, 0, :] = prevb[k][0, :]
+                    if affine:
+                        frow_refs[k][0, 0, :] = prevf[k][0, :]
+                    if is_sw:
+                        bv_refs[k][0] = bvs[k]
+                        bc_refs[k][0] = bcs[k]
+                    if capture_cost:
+                        cost_refs[k][0] = costs_s[k]
 
     return kernel, q, offw
 
@@ -565,10 +631,22 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
     xpad = xpad.at[: cols_p].set(X[1:])
     xwin = xpad[:NSpad].reshape(NSpad // W, W // 128, 128)
 
+    # Continuous echelon (wrap) whenever the cross-pass pipelining is
+    # hazard-free: chain 0 of block group g reads the predecessor row
+    # chain K-1 (group g-1) is still writing, safe iff the write frontier
+    # leads the read frontier by a window (see _make_kernel docstring).
+    SPB = NSpad // W
+    use_wrap = NSpad >= (K - 1) * OFF + R + W + 256
+    if use_wrap:
+        CT = _cdiv(SPB, TW // W)
+        grid = (BB * SPB + (K - 1) * offw,)
+    else:
+        grid = (BB, CH)
+
     kernel, q, _ = _make_kernel(
         K=K, SUB=SUB, W=W, CH=CH, cols_p=cols_p, R=R, TW=TW, OFF=OFF,
         prev_len=prev_len, B=B, kind=kind, gap=gap,
-        masked=interpret,
+        masked=interpret, wrap=use_wrap,
     )
     gmat = jnp.stack(
         [jnp.int32(gapo), jnp.int32(gape)]
@@ -589,22 +667,59 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
         def __init__(self, shape, index, space=pltpu.VMEM):
             self.shape, self.index, self.space = shape, index, space
 
-    planes_spec = _S((1, 8, SUB, 128), lambda bb, ch, k=0: (bb * K + k, 0, 0, 0))
-    xw_spec = _S(
-        (1, W // 128, 128),
-        lambda bb, ch, k=0: (jnp.clip(ch - k * offw, 0, NSpad // W - 1), 0, 0),
-    )
-    row_spec = _S((1, 1, prev_len), lambda bb, ch, k=0: (bb * K + k, 0, 0))
-    col_spec = _S(
-        (1, 1, SUB, 128),
-        lambda bb, ch, k=0: (
-            bb * K + k, jnp.clip((ch - k * offw) // q, 0, CT - 1), 0, 0,
-        ),
-    )
-    blk_spec = _S((1, SUB, 128), lambda bb, ch, k=0: (bb * K + k, 0, 0))
+    if use_wrap:
+        def _wloc(ch, k):
+            lch = ch - k * offw
+            bbk = jnp.clip(lch // SPB, 0, BB - 1)
+            return bbk, lch - bbk * SPB
 
-    in_specs = [pl.BlockSpec((1, 2 + 2 * K), lambda bb, ch: (0, 0),
-                             memory_space=pltpu.SMEM)]
+        planes_spec = _S(
+            (1, 8, SUB, 128),
+            lambda ch, k=0: (_wloc(ch, k)[0] * K + k, 0, 0, 0),
+        )
+        xw_spec = _S(
+            (1, W // 128, 128),
+            lambda ch, k=0: (
+                jnp.clip(_wloc(ch, k)[1], 0, SPB - 1), 0, 0,
+            ),
+        )
+        row_spec = _S(
+            (1, 1, prev_len),
+            lambda ch, k=0: (_wloc(ch, k)[0] * K + k, 0, 0),
+        )
+
+        def _col_idx(ch, k=0):
+            bbk, wch = _wloc(ch, k)
+            return (bbk * K + k, jnp.clip(wch // q, 0, CT - 1), 0, 0)
+
+        col_spec = _S((1, 1, SUB, 128), _col_idx)
+        blk_spec = _S(
+            (1, SUB, 128),
+            lambda ch, k=0: (_wloc(ch, k)[0] * K + k, 0, 0),
+        )
+        gmat_spec = pl.BlockSpec((1, 2 + 2 * K), lambda ch: (0, 0),
+                                 memory_space=pltpu.SMEM)
+    else:
+        planes_spec = _S((1, 8, SUB, 128),
+                         lambda bb, ch, k=0: (bb * K + k, 0, 0, 0))
+        xw_spec = _S(
+            (1, W // 128, 128),
+            lambda bb, ch, k=0: (
+                jnp.clip(ch - k * offw, 0, NSpad // W - 1), 0, 0,
+            ),
+        )
+        row_spec = _S((1, 1, prev_len), lambda bb, ch, k=0: (bb * K + k, 0, 0))
+        col_spec = _S(
+            (1, 1, SUB, 128),
+            lambda bb, ch, k=0: (
+                bb * K + k, jnp.clip((ch - k * offw) // q, 0, CT - 1), 0, 0,
+            ),
+        )
+        blk_spec = _S((1, SUB, 128), lambda bb, ch, k=0: (bb * K + k, 0, 0))
+        gmat_spec = pl.BlockSpec((1, 2 + 2 * K), lambda bb, ch: (0, 0),
+                                 memory_space=pltpu.SMEM)
+
+    in_specs = [gmat_spec]
     in_specs += kmap(planes_spec) + kmap(xw_spec)
 
     row_shape = jax.ShapeDtypeStruct((B, 1, prev_len), jnp.int32)
@@ -644,7 +759,7 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
 
     outs = pl.pallas_call(
         kernel,
-        grid=(BB, CH),
+        grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
@@ -1075,13 +1190,13 @@ def _is_compile_resource_error(e: Exception) -> bool:
 K_MAX_DEFAULT = {
     # Fallback only — the live defaults come from the autotuner cache
     # (tuned_defaults below). Measured on v5e at 23728^2, R=TW=2048,
-    # post mask-drop (2026-08-17). Above these the per-chain carry state
-    # spills registers and Mosaic fails to compile (scoped vmem stack
-    # OOM) or collapses (K=7 nw_lg: ~11 GCUPS).
-    ("nw", "linear"): 6,   # 57.4 GCUPS
-    ("sw", "linear"): 6,   # 47.6 GCUPS
-    ("nw", "affine"): 4,   # 40.4 GCUPS
-    ("sw", "affine"): 4,   # 38.6 GCUPS (K=4 fits since the mask drop)
+    # post mask-drop + wrap echelon (2026-08-17). Above these the
+    # per-chain carry state spills registers and Mosaic fails to compile
+    # (scoped vmem stack OOM) or collapses (K=7 nw_lg: ~13 GCUPS).
+    ("nw", "linear"): 6,   # 72.8 GCUPS
+    ("sw", "linear"): 4,   # 56.9 GCUPS (K=5/6 compile but run slower)
+    ("nw", "affine"): 4,   # 45.5 GCUPS (K=5 fails compile)
+    ("sw", "affine"): 4,   # 45.2 GCUPS (K=5 fails compile)
 }
 
 _TUNED_CACHE: "dict | None" = None

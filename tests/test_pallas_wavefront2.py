@@ -149,6 +149,93 @@ def test_align_mlsp_v2_specs(blosum62, rng, spec_name):
     assert res.score_hash == oracle_hash_dense(mats["H"])
 
 
+@pytest.mark.parametrize(
+    "rows,cols,R,W,TW,K",
+    [
+        # Wide enough that NSpad >= (K-1)*OFF + R + W + 256 -> the
+        # CONTINUOUS echelon (wrap) engages, with >= 2 block groups so
+        # chains roll across group boundaries while their predecessor
+        # row buffers are still being written (the cross-pass pipeline).
+        (700, 1400, 128, 128, 128, 3),
+        (290, 1200, 128, 128, 256, 2),
+    ],
+)
+def test_v2_wrap_matches_oracle(blosum62, rng, rows, cols, R, W, TW, K):
+    """Continuous-echelon (wrap) grid vs oracle: hrow + hcol bit-exact."""
+    from gpuseqalign_tpu.ops import pallas_wavefront2 as w2
+
+    B = _pad_to(-(-rows // R), K)
+    rows_p = B * R
+    cols_p = _pad_to(cols, TW)
+    # The config must actually trigger wrap (guard the test setup).
+    NSpad = _pad_to(R + cols_p - 1 + 128, W)
+    OFF = W * (-(-(R + 256) // W))
+    assert NSpad >= (K - 1) * OFF + R + W + 256
+    assert B // K >= 2
+    Y = np.zeros(1 + rows_p, np.int32)
+    Y[1: 1 + rows] = random_seq(rng, rows)[1:]
+    X = np.zeros(1 + cols_p, np.int32)
+    X[1: 1 + cols] = random_seq(rng, cols)[1:]
+    H_ref = oracle_align_dense(SPEC, blosum62, Y, X, -11)["H"]
+    hrow, hcol = w2.pallas_mlsp_nw_lg_v2(
+        jnp.asarray(blosum62), jnp.asarray(Y), jnp.asarray(X),
+        jnp.int32(-11), R=R, W=W, TW=TW, K=K, interpret=True,
+    )
+    hrow = np.asarray(hrow)
+    hcol = np.asarray(hcol)
+    for b in range(B - 1):
+        np.testing.assert_array_equal(
+            hrow[b, : cols_p + 1], H_ref[(b + 1) * R], err_msg=f"hrow b={b}"
+        )
+    for b in range(B):
+        for jt in range(1, cols_p // TW):
+            np.testing.assert_array_equal(
+                hcol[b, jt].reshape(R),
+                H_ref[b * R + 1: (b + 1) * R + 1, jt * TW],
+                err_msg=f"hcol b={b} jt={jt}",
+            )
+
+
+@pytest.mark.parametrize("spec_name", ["nw_ag", "sw_ag"])
+def test_align_mlsp_v2_wrap_specs(blosum62, rng, spec_name):
+    """Wrap grid through the full sparse wrapper for the extension specs:
+    cost + sparse traceback + both hashes bit-exact vs the oracle."""
+    from gpuseqalign_tpu.models.oracle import align_cost_of
+
+    spec = AlignSpec.from_name(spec_name)
+    Y = random_seq(rng, 430)
+    X = random_seq(rng, 1000)
+
+    nw = AlgInput()
+    nw.subst = blosum62
+    nw.substsz = blosum62.shape[0]
+    nw.seqY, nw.seqX = Y, X
+    nw.adjrows, nw.adjcols = len(Y), len(X)
+    nw.gapo_cost, nw.gape_cost = -11, -2
+    nw.spec = spec
+
+    res = AlgResult()
+    tile_h, tile_w = 128, 128
+    trows = -(-430 // tile_h)
+    tcols = -(-1000 // tile_w)
+    stat = align_mlsp_v2(
+        AlgParams({"kChains": [2]}), nw, res, tile_h, tile_w, trows, tcols,
+        interpret=True,
+    )
+    assert stat == Status.success
+
+    mats = oracle_align_dense(spec, blosum62, Y, X, -11, -2)
+    assert res.align_cost == align_cost_of(spec, mats)
+    assert trace_sparse(nw, res, False) == Status.success
+    transcript, thash, _ = oracle_trace_dense(
+        spec, mats, blosum62, Y, X, -11, -2
+    )
+    assert res.edit_trace == transcript
+    assert res.trace_hash == thash
+    assert hash_sparse(nw, res) == Status.success
+    assert res.score_hash == oracle_hash_dense(mats["H"])
+
+
 @pytest.mark.parametrize("spec_name,K", [("nw_lg", 2), ("sw_lg", 2),
                                          ("nw_ag", 3), ("sw_ag", 3)])
 def test_batch_kernel_matches_oracle(blosum62, rng, spec_name, K):
