@@ -108,9 +108,14 @@ def _bench_tpu_v2(subst, seq) -> float:
     @functools.partial(jax.jit, static_argnames=("m",))
     def loop(subst, y, x, gapo, *, m):
         def body(carry, _):
-            g = gapo + jnp.int32(0) * carry
+            # True data dependency: the previous iteration's result lands
+            # in X's never-read header element, so no two iterations are
+            # CSE-identical and XLA cannot hoist or collapse the scan
+            # (a `0 * carry` pseudo-dependency is constant-folded away —
+            # observed collapsing the tiny-pair kernel's loop 10x).
+            x2 = x.at[0].set(carry)
             out = pallas_mlsp_v2(
-                subst, y, x, g, jnp.int32(GAPE),
+                subst, y, x2, gapo, jnp.int32(GAPE),
                 jnp.int32(n + 1), jnp.int32(n + 1),
                 R=R, W=W, TW=TW, K=K, kind=KIND, gap=GAP,
             )

@@ -182,9 +182,12 @@ def tune_v2(
                 @functools.partial(jax.jit, static_argnames=("m",))
                 def loop(subst_j, yj, xj, g0, *, m, R=R, W=W, TW=TW, K=K):
                     def body(carry, _):
-                        g = g0 + jnp.int32(0) * carry
+                        # True dependency via X's never-read header
+                        # element (a 0*carry pseudo-dependency can be
+                        # constant-folded, collapsing the scan).
+                        xj2 = xj.at[0].set(carry)
                         out = pallas_mlsp_v2(
-                            subst_j, yj, xj, g, jnp.int32(gape),
+                            subst_j, yj, xj2, g0, jnp.int32(gape),
                             jnp.int32(n + 1), jnp.int32(n + 1),
                             R=R, W=W, TW=TW, K=K, kind=kind, gap=gap,
                         )

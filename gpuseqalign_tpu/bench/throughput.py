@@ -109,6 +109,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "align all-vs-first pairs in chunks of CHUNK — "
                          "O(chunk) host memory for corpora larger than "
                          "RAM; incompatible with --seqPairPath")
+    ap.add_argument("--synthPairs", default="", metavar="N,LMIN,LMAX",
+                    help="benchmark N seeded random pairs with lengths "
+                         "uniform in [LMIN, LMAX] instead of a pair "
+                         "file — the many-small-pairs workload the "
+                         "sublane-subblock Pallas path targets")
     args = ap.parse_args(argv)
     if args.quantum != "pow2":
         args.quantum = int(args.quantum)
@@ -122,21 +127,37 @@ def main(argv: Optional[List[str]] = None) -> int:
             ap.error("--stream only supports default all-vs-first pairing")
         return _run_streaming(args, spec, subst, subst_data.letter_map)
 
-    seq_data = parse_seq_file(args.seqPath, subst_data.letter_map)
-    if args.seqPairPath:
-        pair_list = parse_seq_pair_file(args.seqPairPath, seq_data.seq_map)
+    if args.synthPairs:
+        n_pairs, lmin, lmax = (int(v) for v in args.synthPairs.split(","))
+        rng = np.random.default_rng(20260817)
+        substsz = subst.shape[0]
+        pairs = []
+        for _ in range(n_pairs):
+            r = int(rng.integers(lmin, lmax + 1))
+            c = int(rng.integers(lmin, lmax + 1))
+            y = np.zeros(1 + r, np.int32)
+            y[1:] = rng.integers(0, substsz, r)
+            x = np.zeros(1 + c, np.int32)
+            x[1:] = rng.integers(0, substsz, c)
+            pairs.append((y, x))
     else:
-        pair_list = default_pairs(seq_data.seq_map)
+        seq_data = parse_seq_file(args.seqPath, subst_data.letter_map)
+        if args.seqPairPath:
+            pair_list = parse_seq_pair_file(
+                args.seqPairPath, seq_data.seq_map
+            )
+        else:
+            pair_list = default_pairs(seq_data.seq_map)
 
-    pairs = []
-    for p in pair_list:
-        y = vector_substring_with_header(
-            seq_data.seq_map[p.seqY_id].seq, p.seqY_range
-        )
-        x = vector_substring_with_header(
-            seq_data.seq_map[p.seqX_id].seq, p.seqX_range
-        )
-        pairs.append((y, x))
+        pairs = []
+        for p in pair_list:
+            y = vector_substring_with_header(
+                seq_data.seq_map[p.seqY_id].seq, p.seqY_range
+            )
+            x = vector_substring_with_header(
+                seq_data.seq_map[p.seqX_id].seq, p.seqX_range
+            )
+            pairs.append((y, x))
     cells = sum((len(y) - 1) * (len(x) - 1) for y, x in pairs)
 
     mesh = make_mesh(args.devices) if args.devices else None

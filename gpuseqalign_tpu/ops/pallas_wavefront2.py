@@ -36,7 +36,7 @@ step capture. The grid is the CONTINUOUS (wrap) echelon whenever the
 matrix is wide enough (see _make_kernel): chains roll into their next
 row block without the per-pass pipeline drain the original (BB, CH)
 grid paid. Measured on v5e at 23728^2 (R=TW=2048), unmasked + wrap:
-nw_lg 72.8 GCUPS (K=6), sw_lg 56.9 (K=4), nw_ag 45.5 (K=4),
+nw_lg 67.8 GCUPS (K=6), sw_lg 56.9 (K=4), nw_ag 45.5 (K=4),
 sw_ag 45.2 (K=4).
 """
 
@@ -1193,7 +1193,7 @@ K_MAX_DEFAULT = {
     # post mask-drop + wrap echelon (2026-08-17). Above these the
     # per-chain carry state spills registers and Mosaic fails to compile
     # (scoped vmem stack OOM) or collapses (K=7 nw_lg: ~13 GCUPS).
-    ("nw", "linear"): 6,   # 72.8 GCUPS
+    ("nw", "linear"): 6,   # 67.8 GCUPS
     ("sw", "linear"): 4,   # 56.9 GCUPS (K=5/6 compile but run slower)
     ("nw", "affine"): 4,   # 45.5 GCUPS (K=5 fails compile)
     ("sw", "affine"): 4,   # 45.2 GCUPS (K=5 fails compile)

@@ -295,6 +295,84 @@ def _pallas_batch_scores(
     return costs, best_i, best_j
 
 
+def _pallas_tiny_scores(
+    spec: AlignSpec,
+    subst_j,
+    ys: np.ndarray,
+    xs: np.ndarray,
+    adjrs: np.ndarray,
+    adjcs: np.ndarray,
+    gapo: int,
+    gape: int,
+    interpret: bool = False,
+):
+    """TPU fast path for SMALL-pair buckets (rows_p <= 1024): PPB pairs
+    share one vector block as sublane sub-blocks, K blocks interleave
+    (ops/pallas_tiny.py). Cost/argmax contract identical to
+    scores_batch."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.pallas_tiny import pallas_mlsp_tiny_v2
+    from ..ops.pallas_wavefront2 import tuned_defaults
+
+    is_sw = spec.kind.value == "sw"
+    PR = ys.shape[1] - 1
+    PPB = (16 * 128) // PR
+    K = min(4, int(tuned_defaults(spec.kind.value,
+                                  spec.gap.value)["kChains"]))
+    b = ys.shape[0]
+    quant = PPB * K
+    b_pad = _pad_to(b, quant)
+    if b_pad != b:
+        pad = b_pad - b
+        ys = np.concatenate([ys, np.zeros((pad, ys.shape[1]), np.int32)])
+        xs = np.concatenate([xs, np.zeros((pad, xs.shape[1]), np.int32)])
+        adjrs = np.concatenate([adjrs, np.full(pad, 2, np.int32)])
+        adjcs = np.concatenate([adjcs, np.full(pad, 2, np.int32)])
+
+    out = pallas_mlsp_tiny_v2(
+        subst_j, jnp.asarray(ys), jnp.asarray(xs),
+        jnp.int32(gapo), jnp.int32(gape),
+        jnp.asarray(adjrs), jnp.asarray(adjcs),
+        PR=PR, K=K, kind=spec.kind.value, gap=spec.gap.value,
+        interpret=interpret,
+    )
+    costs = np.zeros(b, np.int32)
+    best_i = np.zeros(b, np.int32)
+    best_j = np.zeros(b, np.int32)
+    degenerate = (adjrs[:b] < 2) | (adjcs[:b] < 2)
+    if is_sw:
+        bvs = np.asarray(jax.device_get(out["bv"]))[:b]
+        bcs = np.asarray(jax.device_get(out["bc"]))[:b]
+    else:
+        cost = np.asarray(jax.device_get(out["cost"]))[:b]
+    lane = np.arange(PR)
+    for idx in range(b):
+        if degenerate[idx]:
+            if is_sw:
+                costs[idx] = 0
+            elif spec.gap.value == "affine":
+                n_gap = int(adjrs[idx] + adjcs[idx]) - 2
+                costs[idx] = 0 if n_gap == 0 else gapo + n_gap * gape
+            else:
+                costs[idx] = (int(adjrs[idx] + adjcs[idx]) - 2) * gapo
+            continue
+        if is_sw:
+            v = bvs[idx]
+            if v.max(initial=0) <= 0:
+                costs[idx] = 0
+                continue
+            iv = 1 + lane
+            jv = bcs[idx] - lane + 1
+            o = np.lexsort((jv, iv, -v))[0]
+            costs[idx] = v[o]
+            best_i[idx] = iv[o]
+            best_j[idx] = jv[o]
+        else:
+            costs[idx] = cost[idx]
+    return costs, best_i, best_j
+
+
 def _pallas_batch_ok(spec: AlignSpec, rows_p: int, gapo: int,
                      gape: int) -> bool:
     import jax
@@ -306,6 +384,25 @@ def _pallas_batch_ok(spec: AlignSpec, rows_p: int, gapo: int,
     # Below 8 sublanes per lane-block the vector registers are mostly
     # padding and the vmapped XLA row-scan wins.
     return rows_p >= 1024
+
+
+def _pallas_tiny_ok(spec: AlignSpec, rows_p: int, n_pairs: int, gapo: int,
+                    gape: int) -> bool:
+    import jax
+    import os
+
+    if os.environ.get("GSA_NO_TINY"):  # A/B benchmarking knob
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if spec.gap.value == "affine" and (gapo > 0 or gape > 0):
+        return False
+    # Sub-block packing needs rows_p to divide the (16, 128) block, and
+    # enough pairs that at least one full chain-group forms (smaller
+    # buckets aren't worth a kernel compile over the vmapped row-scan).
+    if rows_p > 1024 or rows_p % 128 or (16 * 128) % rows_p:
+        return False
+    return n_pairs >= (16 * 128) // rows_p
 
 
 def align_pairs_batched(
@@ -359,6 +456,11 @@ def align_pairs_batched(
 
         if mesh is None and _pallas_batch_ok(spec, rows_p, gapo, gape):
             c, bi, bj = _pallas_batch_scores(
+                spec, subst_j, ys[:b], xs[:b], adjrs[:b], adjcs[:b],
+                gapo, gape,
+            )
+        elif mesh is None and _pallas_tiny_ok(spec, rows_p, b, gapo, gape):
+            c, bi, bj = _pallas_tiny_scores(
                 spec, subst_j, ys[:b], xs[:b], adjrs[:b], adjcs[:b],
                 gapo, gape,
             )
