@@ -53,7 +53,10 @@ def _kernel_params():
     R = int(ent.get("tileBy", 2048))
     TW = int(ent.get("tileBx", 2048))
     K = int(ent.get("kChains", 4))
-    return R, min(512, TW), TW, K
+    W = int(ent.get("winW", 0) or min(512, TW))
+    if TW % W or W % 128:
+        W = min(512, TW)
+    return R, W, TW, K
 
 
 R, W, TW, K = 2048, 512, 2048, 4  # set in main() from the tuned cache

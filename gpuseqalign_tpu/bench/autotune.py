@@ -162,10 +162,12 @@ def tune_v2(
     grid = dict(grid or DEFAULT_V2_GRID)
     best = None
     for R in grid.get("tileBy", [2048]):
-        for TW in grid.get("tileBx", [2048]):
+      for TW in grid.get("tileBx", [2048]):
+        for W in grid.get("winW", [512]):
             if TW < R or R % 128 or TW % 128:
                 continue
-            W = min(512, TW)
+            if W % 128 or TW % W:
+                continue
             B = -(-n // R)
             for K in grid.get("kChains", [4]):
                 B_p = -(-B // K) * K
@@ -219,7 +221,7 @@ def tune_v2(
                     resc = AlgResult()
                     stat = align_mlsp_v2(
                         AlgParams({"tileBy": [R], "tileBx": [TW],
-                                   "kChains": [K]}),
+                                   "kChains": [K], "winW": [W]}),
                         nwc, resc, R, TW, -(-pref // R), -(-pref // TW),
                     )
                     if stat != Status.success or resc.align_cost != want:
@@ -235,11 +237,11 @@ def tune_v2(
                     continue
                 g = n * n / t / 1e9
                 if verbose:
-                    print(f"  R={R} TW={TW} K={K}: {g:.2f} GCUPS",
+                    print(f"  R={R} TW={TW} W={W} K={K}: {g:.2f} GCUPS",
                           file=sys.stderr)
                 if best is None or g > best["_gcups"]:
                     best = {"tileBy": R, "tileBx": TW, "kChains": K,
-                            "_gcups": round(g, 3)}
+                            "winW": W, "_gcups": round(g, 3)}
     if best is None:
         raise RuntimeError("no valid v2 combination")
     return best

@@ -170,13 +170,19 @@ def _run_worker(code: str, env_extra: dict, args: Optional[List[str]] = None,
     with tempfile.NamedTemporaryFile(
         "w", suffix=".py", delete=False, dir="/tmp"
     ) as f:
-        f.write(code)
+        # `python /tmp/x.py` puts /tmp (the SCRIPT dir, not the cwd) at
+        # sys.path[0], so cwd=REPO alone does NOT make the package
+        # importable; inject the repo path explicitly. (PYTHONPATH would
+        # break the axon TPU plugin — CLAUDE.md — but in-process
+        # sys.path manipulation does not.)
+        f.write(f"import sys; sys.path.insert(0, {REPO!r})\n" + code)
         path = f.name
+    # Inherit the environment UNCHANGED: on the axon-tunneled box the TPU
+    # plugin itself rides JAX_PLATFORMS=axon + PYTHONPATH=/root/.axon_site
+    # (popping either silently drops every worker to CPU). CPU-pinned
+    # workers pin IN-SCRIPT via jax.config.update("jax_platforms","cpu"),
+    # which wins over the env var.
     env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    # PYTHONPATH breaks the axon TPU plugin (CLAUDE.md); workers run with
-    # cwd=REPO so the package imports from the working directory instead.
-    env.pop("PYTHONPATH", None)
     env.update(env_extra)
     p = subprocess.run(
         [sys.executable, path] + (args or []),
@@ -234,11 +240,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     with tempfile.NamedTemporaryFile(
         "w", suffix=".py", delete=False, dir="/tmp"
     ) as f:
-        f.write(MULTIHOST_WORKER.format(sizes=sizes, spec=args.spec))
+        # Same sys.path note as _run_worker.
+        f.write(f"import sys; sys.path.insert(0, {REPO!r})\n"
+                + MULTIHOST_WORKER.format(sizes=sizes, spec=args.spec))
         wpath = f.name
     env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    env.pop("PYTHONPATH", None)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     procs = [
         subprocess.Popen(

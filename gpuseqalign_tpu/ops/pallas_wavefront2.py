@@ -1354,11 +1354,11 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     cols = nw.adjcols - 1
     R = tile_h
     TW = tile_w
-    W = min(512, TW)
-    k_max = int(
-        pr.get("kChains", 0)
-        or tuned_defaults(spec.kind.value, spec.gap.value)["kChains"]
-    )
+    tuned = tuned_defaults(spec.kind.value, spec.gap.value)
+    W = int(pr.get("winW", 0) or tuned.get("winW", 0) or min(512, TW))
+    if TW % W or W % 128:
+        W = min(512, TW)
+    k_max = int(pr.get("kChains", 0) or tuned["kChains"])
     K = choose_k(trows, k_max)
     trows_p = _cdiv(trows, K) * K  # pad row blocks so B % K == 0
     rows_p = trows_p * R
