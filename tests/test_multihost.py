@@ -117,16 +117,11 @@ import json, os, sys
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
-# Per-process cache dir: with a SHARED cache one process loads the
-# compiled program instantly while the other compiles for minutes, and
-# the Gloo collective rendezvous times out (GetKeyValue DEADLINE_EXCEEDED
-# after 30s). Separate dirs keep the two compiles symmetric.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    f"/tmp/jax_cache_gpuseqalign_tpu_p{sys.argv[2]}",
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NO persistent compilation cache here: any asymmetry between the two
+# processes' caches (one hit, one miss) makes one worker finish minutes
+# before the other and time out at the coordination-service barriers
+# (Gloo GetKeyValue DEADLINE_EXCEEDED at rendezvous, BarrierError at
+# Shutdown). Symmetric fresh compiles keep the workers in lockstep.
 jax.distributed.initialize(
     coordinator_address=sys.argv[1],
     num_processes=2,
