@@ -44,28 +44,46 @@ from ..core.types import NEG_INF_I32
 from .pallas_wavefront2 import _cdiv, _make_kernel, _pack_planes  # noqa: F401
 
 
+def wrap_ok(*, R: int, W: int, K: int, band_cols: int) -> bool:
+    """True when the continuous (wrap) echelon is hazard-free for this band
+    geometry: chain 0 of group g reads the predecessor row chain K-1
+    (group g-1) is still writing, safe only while the write frontier leads
+    the read frontier (same guard as the full-matrix wrap kernel)."""
+    NSpad = _cdiv(R + band_cols - 1 + 128, W) * W
+    OFF = W * _cdiv(R + 256, W)
+    return NSpad >= (K - 1) * OFF + R + W + 256
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("R", "W", "TW", "K", "band_cols", "kind", "gap",
-                     "interpret"),
+                     "interpret", "B"),
 )
 def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
                 haloH, haloE, adjr_loc, adjc_loc, *, R: int, W: int,
                 TW: int, K: int, band_cols: int, kind: str = "nw",
-                gap: str = "linear", interpret: bool = False):
-    """One pass (K row blocks) over one column band, any spec.
+                gap: str = "linear", interpret: bool = False,
+                B: int | None = None):
+    """One pass (B row blocks, K chains) over one column band, any spec.
 
-    subst_planes: (K, 8, SUB, 128)  packed substitution rows for the blocks
+    subst_planes: (B, 8, SUB, 128)  packed substitution rows for the blocks
     xwin: (NSpad//W, W//128, 128)   band letters X[c0 + t + 1]
     prev_row: (prev_len,)           H[row0, c0 + j]
     prevF_row: (prev_len,) | None   F[row0, c0 + j] (affine only)
-    haloH: (K*R + 1,)               H[row0 + r, c0] for r = 0..K*R
-    haloE: (K*R,) | None            E[row0 + 1 + r, c0] (affine only)
+    haloH: (B*R + 1,)               H[row0 + r, c0] for r = 0..B*R
+    haloE: (B*R,) | None            E[row0 + 1 + r, c0] (affine only)
     adjr_loc/adjc_loc: ()           adjr - row0, adjc - c0 (SW masking)
 
+    ``B`` defaults to K (one echelon group — the original per-pass form).
+    B > K (a multiple of K) runs the CONTINUOUS (wrap) echelon across
+    B // K groups inside ONE pallas_call, paying the (K-1)*OFF pipeline
+    drain once per pass instead of once per group; requires the same
+    cross-group hazard guard as the full-matrix wrap kernel
+    (NSpad >= (K-1)*OFF + R + W + 256 — use wrap_ok() to check).
+
     Returns a dict:
-      hrow (K, prev_len), hcol (K, CT, SUB, 128),
-      frow/ecol (affine, same shapes), bv/bc (SW, (K, SUB, 128); bc holds
+      hrow (B, prev_len), hcol (B, CT, SUB, 128),
+      frow/ecol (affine, same shapes), bv/bc (SW, (B, SUB, 128); bc holds
       the chain-local step c — global j = c0 + (c - lane) + 1).
     """
     affine = gap == "affine"
@@ -74,42 +92,81 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
     NSpad = xwin.shape[0] * W
     assert NSpad == _cdiv(R + band_cols - 1 + 128, W) * W
     prev_len = NSpad + 128
+    if B is None:
+        B = K
+    assert B % K == 0 and subst_planes.shape[0] == B
+    wrap = B > K
+    BBtot = B // K
 
     OFF = W * _cdiv(R + 256, W)
     CH = (NSpad + (K - 1) * OFF) // W
-    CT = _cdiv(CH, TW // W)
     q = TW // W
     offw = OFF // W
+    SPB = NSpad // W
+    if wrap:
+        assert wrap_ok(R=R, W=W, K=K, band_cols=band_cols), (
+            "banded wrap needs NSpad >= (K-1)*OFF + R + W + 256"
+        )
+        # +1: drain-phase tile flushes clip into slot CT-1, which must not
+        # collide with the band's right-edge capture (jl == jtE) that the
+        # halo exchange reads. Slot CT-1 is junk-only by construction.
+        CT = _cdiv(SPB, q) + 1
+        grid = (BBtot * SPB + (K - 1) * offw,)
+    else:
+        CT = _cdiv(CH, q)
+        grid = (CH,)
 
     kernel, _, _ = _make_kernel(
         K=K, SUB=SUB, W=W, CH=CH, cols_p=band_cols, R=R, TW=TW,
-        OFF=OFF, prev_len=prev_len, B=K, kind=kind, gap=gap, banded=True,
-        masked=interpret,
+        OFF=OFF, prev_len=prev_len, B=B, kind=kind, gap=gap, banded=True,
+        masked=interpret, wrap=wrap,
     )
 
-    # SMEM scalar vector: [gapo, gape] + adjr_loc*K + adjc_loc*K + seeds*K
+    # SMEM scalar vector: [gapo, gape] + adjr_loc*K + adjc_loc*K + seeds*B
     # (seeds = H[(blk+1)R, c0], the j == 0 element of each output row).
     gvec = jnp.concatenate(
         [jnp.asarray(gapo, jnp.int32).reshape(1),
          jnp.asarray(gape, jnp.int32).reshape(1)]
         + [jnp.asarray(adjr_loc, jnp.int32).reshape(1)] * K
         + [jnp.asarray(adjc_loc, jnp.int32).reshape(1)] * K
-        + [haloH[(k + 1) * R].reshape(1) for k in range(K)]
-    ).reshape(1, 2 + 3 * K)
+        + [haloH[(b + 1) * R].reshape(1) for b in range(B)]
+    ).reshape(1, 2 + 2 * K + B)
 
-    hcolin = haloH[1:].reshape(K, SUB, 128)
-    dcolin = haloH[:-1].reshape(K, SUB, 128)
+    hcolin = haloH[1:].reshape(B, SUB, 128)
+    dcolin = haloH[:-1].reshape(B, SUB, 128)
     previn = jnp.zeros((1, prev_len), jnp.int32).at[0, : prev_row.shape[0]].set(
         prev_row[:prev_len]
     )
+
+    def _wloc(ch, k):
+        lch = ch - k * offw
+        bbk = jnp.clip(lch // SPB, 0, BBtot - 1)
+        return bbk, lch - bbk * SPB
 
     def fixed(shape):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda ch, nd=nd: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    def chain_blk_specs(shape):
+        # Per-chain window over a (B, ...)-shaped input: the chain's
+        # current row block (wrap) or its fixed block k (one group).
+        if wrap:
+            return [pl.BlockSpec(
+                (1,) + shape,
+                functools.partial(
+                    lambda ch, k=0: (_wloc(ch, k)[0] * K + k,)
+                    + (0,) * len(shape), k=k),
+                memory_space=pltpu.VMEM,
+            ) for k in range(K)]
+        return [pl.BlockSpec(
+            (1,) + shape,
+            functools.partial(lambda ch, k=0: (k,) + (0,) * len(shape), k=k),
+            memory_space=pltpu.VMEM,
+        ) for k in range(K)]
+
     in_specs = [
-        pl.BlockSpec((1, 2 + 3 * K), lambda ch: (0, 0),
+        pl.BlockSpec((1, 2 + 2 * K + B), lambda ch: (0, 0),
                      memory_space=pltpu.SMEM),
         fixed((1, prev_len)),
     ]
@@ -121,25 +178,29 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
         )
         in_specs.append(fixed((1, prev_len)))
         inputs.append(prevFin)
-    in_specs += [fixed((K, SUB, 128)), fixed((K, SUB, 128))]
-    inputs += [hcolin, dcolin]
-    if affine:
-        ecolin = haloE.reshape(K, SUB, 128)
-        in_specs.append(fixed((K, SUB, 128)))
-        inputs.append(ecolin)
+    ecolin = haloE.reshape(B, SUB, 128) if affine else None
+    if wrap:
+        # Halo columns become per-chain windowed refs (the kernel reads
+        # the chain's CURRENT block's column each grid step).
+        in_specs += chain_blk_specs((SUB, 128)) * (3 if affine else 2)
+        inputs += [hcolin] * K + [dcolin] * K
+        if affine:
+            inputs += [ecolin] * K
+    else:
+        in_specs += [fixed((K, SUB, 128)), fixed((K, SUB, 128))]
+        inputs += [hcolin, dcolin]
+        if affine:
+            in_specs.append(fixed((K, SUB, 128)))
+            inputs.append(ecolin)
 
-    for k in range(K):
-        in_specs.append(pl.BlockSpec(
-            (1, 8, SUB, 128),
-            functools.partial(lambda ch, k=0: (k, 0, 0, 0), k=k),
-            memory_space=pltpu.VMEM,
-        ))
+    in_specs += chain_blk_specs((8, SUB, 128))
     for k in range(K):
         in_specs.append(pl.BlockSpec(
             (1, W // 128, 128),
             functools.partial(
                 lambda ch, k=0: (
-                    jnp.clip(ch - k * offw, 0, NSpad // W - 1), 0, 0
+                    (jnp.clip(_wloc(ch, k)[1], 0, SPB - 1) if wrap
+                     else jnp.clip(ch - k * offw, 0, SPB - 1)), 0, 0
                 ),
                 k=k,
             ),
@@ -147,16 +208,30 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
         ))
     inputs += [subst_planes] * K + [xwin] * K
 
+    def out_blk(k):
+        # Output row-block index for chain k at grid step ch.
+        if wrap:
+            return lambda ch, k=k: _wloc(ch, k)[0] * K + k
+        return lambda ch, k=k: 0 if B == K else k
+
     def row_specs():
-        return [pl.BlockSpec((1, 1, prev_len), lambda ch, k=0: (0, 0, 0),
-                             memory_space=pltpu.VMEM) for _ in range(K)]
+        return [pl.BlockSpec(
+            (1, 1, prev_len),
+            functools.partial(lambda ch, k=0: (out_blk(k)(ch), 0, 0), k=k),
+            memory_space=pltpu.VMEM,
+        ) for k in range(K)]
 
     def col_specs():
         return [pl.BlockSpec(
             (1, 1, SUB, 128),
             functools.partial(
                 lambda ch, k=0: (
-                    0, jnp.clip((ch - k * offw) // q, 0, CT - 1), 0, 0,
+                    out_blk(k)(ch),
+                    jnp.clip(
+                        (_wloc(ch, k)[1] if wrap else ch - k * offw) // q,
+                        0, CT - 1,
+                    ),
+                    0, 0,
                 ),
                 k=k,
             ),
@@ -164,12 +239,16 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
         ) for k in range(K)]
 
     def blk_specs():
-        return [pl.BlockSpec((1, SUB, 128), lambda ch, k=0: (0, 0, 0),
-                             memory_space=pltpu.VMEM) for _ in range(K)]
+        return [pl.BlockSpec(
+            (1, SUB, 128),
+            functools.partial(lambda ch, k=0: (out_blk(k)(ch), 0, 0), k=k),
+            memory_space=pltpu.VMEM,
+        ) for k in range(K)]
 
-    row_shape = jax.ShapeDtypeStruct((1, 1, prev_len), jnp.int32)
-    col_shape = jax.ShapeDtypeStruct((1, CT, SUB, 128), jnp.int32)
-    blk_shape = jax.ShapeDtypeStruct((1, SUB, 128), jnp.int32)
+    nrow = B if wrap else 1
+    row_shape = jax.ShapeDtypeStruct((nrow, 1, prev_len), jnp.int32)
+    col_shape = jax.ShapeDtypeStruct((nrow, CT, SUB, 128), jnp.int32)
+    blk_shape = jax.ShapeDtypeStruct((nrow, SUB, 128), jnp.int32)
 
     out_specs = row_specs() + col_specs()
     out_shapes = [row_shape] * K + [col_shape] * K
@@ -205,7 +284,7 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
 
     outs = pl.pallas_call(
         kernel,
-        grid=(CH,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
@@ -213,22 +292,37 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
         interpret=interpret,
     )(*inputs)
 
+    def merge_rows(parts):
+        # Chain k wrote only rows bbk*K + k of its own array; interleave.
+        if not wrap:
+            return jnp.concatenate([p[0] for p in parts], axis=0)
+        return jnp.stack(
+            [parts[k].reshape(BBtot, K, 1, prev_len)[:, k, 0]
+             for k in range(K)], axis=1,
+        ).reshape(B, prev_len)
+
+    def merge_tail(parts, tail):
+        if not wrap:
+            return jnp.concatenate(parts, axis=0)
+        return jnp.stack(
+            [parts[k].reshape((BBtot, K) + tail)[:, k] for k in range(K)],
+            axis=1,
+        ).reshape((B,) + tail)
+
     pos = 0
-    out = {"hrow": jnp.concatenate(
-        [outs[pos + k][0] for k in range(K)], axis=0)}
+    out = {"hrow": merge_rows(outs[pos: pos + K])}
     pos += K
-    out["hcol"] = jnp.concatenate(outs[pos: pos + K], axis=0)
+    out["hcol"] = merge_tail(outs[pos: pos + K], (CT, SUB, 128))
     pos += K
     if affine:
-        out["frow"] = jnp.concatenate(
-            [outs[pos + k][0] for k in range(K)], axis=0)
+        out["frow"] = merge_rows(outs[pos: pos + K])
         pos += K
-        out["ecol"] = jnp.concatenate(outs[pos: pos + K], axis=0)
+        out["ecol"] = merge_tail(outs[pos: pos + K], (CT, SUB, 128))
         pos += K
     if is_sw:
-        out["bv"] = jnp.concatenate(outs[pos: pos + K], axis=0)
+        out["bv"] = merge_tail(outs[pos: pos + K], (SUB, 128))
         pos += K
-        out["bc"] = jnp.concatenate(outs[pos: pos + K], axis=0)
+        out["bc"] = merge_tail(outs[pos: pos + K], (SUB, 128))
         pos += K
     return out
 

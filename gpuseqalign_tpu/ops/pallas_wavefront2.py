@@ -94,6 +94,10 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
     the predecessor row chain K-1 (group g-1) is still writing; safe
     while its write frontier leads the read frontier, i.e.
     NSpad >= (K-1)*OFF + R + W + 256 (the caller guards).
+    ``wrap + banded`` (ops/pallas_banded.py, B > K) is the same continuous
+    echelon over a column band: the halo columns arrive as per-chain
+    block-windowed refs and the per-block j==0 seeds are read from SMEM at
+    the chain's current block index.
     """
     ninf = NEG_INF_I32
     n_win = W // 128
@@ -103,7 +107,7 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
     affine = gap == "affine"
     assert not (banded and (batch or capture_cost))
     assert not (dense and (batch or banded))
-    assert not (wrap and (batch or banded or dense))
+    assert not (wrap and (batch or dense))
     NSpad = prev_len - 128
     SPB = NSpad // W  # wrap mode: chunks per row block
     BBtot = B // K if K else 1
@@ -115,10 +119,19 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
             previn = refs[pos]; pos += 1
             if affine:
                 prevFin = refs[pos]; pos += 1
-            hcolin = refs[pos]; pos += 1
-            dcolin = refs[pos]; pos += 1
-            if affine:
-                ecolin = refs[pos]; pos += 1
+            if wrap:
+                # Wrap-banded: the halo columns are per-BLOCK windows (the
+                # chain's current row block moves with the grid), so they
+                # arrive as K windowed refs like the planes/xwin inputs.
+                hcolin_refs = refs[pos: pos + K]; pos += K
+                dcolin_refs = refs[pos: pos + K]; pos += K
+                if affine:
+                    ecolin_refs = refs[pos: pos + K]; pos += K
+            else:
+                hcolin = refs[pos]; pos += 1
+                dcolin = refs[pos]; pos += 1
+                if affine:
+                    ecolin = refs[pos]; pos += 1
         planes_refs = refs[pos: pos + K]; pos += K
         xw_refs = refs[pos: pos + K]; pos += K
         hrow_refs = refs[pos: pos + K]; pos += K
@@ -180,7 +193,7 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
         # blk = k (bb = 0) formulas unchanged.
         adjrs = [g_ref[0, 2 + k] for k in range(K)]
         adjcs = [g_ref[0, 2 + K + k] for k in range(K)]
-        if banded:
+        if banded and not wrap:
             seeds = [g_ref[0, 2 + 2 * K + k] for k in range(K)]
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
         l_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
@@ -196,12 +209,13 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
         hdrHs, dhdrs, ehdrs = [], [], []
         for k in range(K):
             if banded:
-                hdrHs.append(hcolin[k])
-                dhdrs.append(dcolin[k])
+                hk = hcolin_refs[k][0] if wrap else hcolin[k]
+                dk = dcolin_refs[k][0] if wrap else dcolin[k]
+                hdrHs.append(hk)
+                dhdrs.append(dk)
                 if affine:
-                    ehdrs.append(
-                        jnp.maximum(ecolin[k], hcolin[k] + g) + ge
-                    )
+                    ek = ecolin_refs[k][0] if wrap else ecolin[k]
+                    ehdrs.append(jnp.maximum(ek, hk + g) + ge)
                 continue
             blk0 = blks[k]
             io = 1 + blk0 * R + i2d
@@ -257,7 +271,9 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
             # prow window accumulator; j == 0 header element seeded
             # (banded: H[(blk+1)R, c0] from the halo, via SMEM).
             if banded:
-                seed = seeds[k]
+                # Wrap-banded: per-BLOCK j==0 seed (H[(blk+1)R, c0]) read
+                # at the chain's current block index from SMEM.
+                seed = g_ref[0, 2 + 2 * K + blks[k]] if wrap else seeds[k]
             else:
                 blk0 = blks[k]
                 if is_sw:

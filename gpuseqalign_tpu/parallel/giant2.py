@@ -7,10 +7,11 @@ ICI via lax.ppermute) — but the per-device block fill is the full-speed
 v2 Pallas kernel (ops/pallas_banded.py) instead of the XLA row-scan, so
 each chip contributes ~its single-pair v2 throughput.
 
-Pipeline: pass p covers K row blocks; at step t device k runs pass t - k.
-The halo message per step is (K*R + 1) int32 H values (plus K*R E values
-for affine specs — a tile's left-column dependency set under Gotoh is the
-(H, E) pair, see core/types.py AlignSpec).
+Pipeline: pass p covers BL = KB*K row blocks (KB echelon groups run as
+ONE wrap-echelon pallas_call when KB > 1 — see pick_kb); at step t device
+k runs pass t - k. The halo message per step is (BL*R + 1) int32 H values
+(plus BL*R E values for affine specs — a tile's left-column dependency
+set under Gotoh is the (H, E) pair, see core/types.py AlignSpec).
 
 Efficiency model: the scan runs n_pass + D - 1 steps of which each
 device computes during n_pass, so the fill/drain bubble bounds
@@ -51,33 +52,61 @@ from ..core.types import (
     NEG_INF_I32,
     Status,
 )
-from ..ops.pallas_banded import banded_pass
+from ..ops.pallas_banded import banded_pass, wrap_ok
 from ..ops.pallas_wavefront2 import _cdiv, _pack_planes
+
+
+def pick_kb(n_blocks: int, K: int, D: int, *, R: int, W: int, TW: int,
+            band_cols: int, kb_max: int = 8) -> int:
+    """Echelon groups per pass (pass height = KB*K*R rows), by the analytic
+    efficiency model: per-device utilization is
+        [n_pass / (n_pass + D - 1)]        cross-device pipeline fill/drain
+      * [KB*SPB / (KB*SPB + (K-1)*offw)]   in-kernel echelon drain per pass
+      / [padded-rows factor]               row padding to n_pass*KB*K*R
+    KB > 1 runs the wrap (continuous) echelon inside banded_pass, paying
+    the in-kernel drain once per PASS instead of once per K-block group —
+    a win when passes are plentiful (n_pass >> D), a loss when the bigger
+    pass height starves the cross-device pipeline."""
+    if n_blocks <= K or not wrap_ok(R=R, W=W, K=K, band_cols=band_cols):
+        return 1
+    NSpad = _cdiv(R + band_cols - 1 + 128, W) * W
+    SPB = NSpad // W
+    drain = (K - 1) * (W * _cdiv(R + 256, W)) // W
+    best_kb, best_eff = 1, 0.0
+    for kb in range(1, kb_max + 1):
+        n2 = _cdiv(n_blocks, K * kb)
+        pad = (n2 * K * kb) / n_blocks
+        eff = (n2 / (n2 + D - 1)) * (kb * SPB) / (kb * SPB + drain) / pad
+        if eff > best_eff + 1e-9:
+            best_kb, best_eff = kb, eff
+    return best_kb
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "mesh", "axis", "R", "W", "TW", "K", "band_cols", "n_pass",
-        "kind", "gap", "interpret",
+        "kind", "gap", "interpret", "KB",
     ),
 )
 def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
                 axis: str = "sp", R: int, W: int, TW: int, K: int,
                 band_cols: int, n_pass: int, kind: str = "nw",
-                gap: str = "linear", interpret: bool = False):
+                gap: str = "linear", interpret: bool = False, KB: int = 1):
     """Distributed sparse fill, any spec.
 
-    y: (1 + n_pass*K*R,) with header element, replicated.
+    y: (1 + n_pass*KB*K*R,) with header element, replicated.
     x_nohdr: (D * band_cols,) letters without header (sharded into bands).
     adjr/adjc: true dims incl. header (traced; SW masking).
+    KB: echelon groups per pass (see pick_kb) — each scan step fills
+    BL = KB*K row blocks per band via banded_pass's wrap echelon.
 
     Returns a dict of gathered per-band streams:
       hrows: (B, D, prev_len)   per-band rows (b+1)*R, j=0 at c0
       hcols: (B, D, jtE+1, R)   per-band header cols at TW steps
       frows/ecols (affine):     F rows / E cols, same shapes
       bv/bc (SW):               (B, D, R) per-lane best value / local step
-    (B = n_pass*K; jtE = band_cols // TW; hcols[..., jl, :] holds column
+    (B = n_pass*KB*K; jtE = band_cols // TW; hcols[..., jl, :] holds column
     c0 + jl*TW; jl = jtE is the band's right edge.)
     """
     D = mesh.devices.size
@@ -85,7 +114,8 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
     NSpad = _cdiv(R + band_cols - 1 + 128, W) * W
     prev_len = NSpad + 128
     jtE = band_cols // TW
-    B = n_pass * K
+    BL = KB * K
+    B = n_pass * BL
     g = gapo
     ge = gape
     affine = gap == "affine"
@@ -112,7 +142,7 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
             prev0 = jj * g
         prevF0 = jnp.full(prev_len, ninf, jnp.int32) if affine else None
 
-        msg_len = K * R + 1 + (K * R if affine else 0)
+        msg_len = BL * R + 1 + (BL * R if affine else 0)
         msg0 = jnp.zeros(msg_len, jnp.int32)
         perm = [(s, (s + 1) % D) for s in range(D)]
 
@@ -122,59 +152,59 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
             p = t - k
             active = (p >= 0) & (p < n_pass)
             pc = jnp.clip(p, 0, n_pass - 1)
-            row0 = pc * K * R
+            row0 = pc * BL * R
             # Device 0's left border is the true DP header column.
-            ii = row0 + jnp.arange(K * R + 1, dtype=jnp.int32)
+            ii = row0 + jnp.arange(BL * R + 1, dtype=jnp.int32)
             if is_sw:
-                hdrH = jnp.zeros(K * R + 1, jnp.int32)
+                hdrH = jnp.zeros(BL * R + 1, jnp.int32)
             elif affine:
                 hdrH = jnp.where(ii == 0, 0, g + ii * ge)
             else:
                 hdrH = ii * g
-            haloH = jnp.where(k == 0, hdrH, halo[: K * R + 1])
+            haloH = jnp.where(k == 0, hdrH, halo[: BL * R + 1])
             haloE = None
             if affine:
                 # E[i, 0] is undefined (-inf) at the true header column.
                 haloE = jnp.where(
                     k == 0,
-                    jnp.full(K * R, ninf, jnp.int32),
-                    halo[K * R + 1:],
+                    jnp.full(BL * R, ninf, jnp.int32),
+                    halo[BL * R + 1:],
                 )
 
             planes_p = lax.dynamic_slice(
-                subst_planes, (pc * K, 0, 0, 0), (K, 8, SUB, 128)
+                subst_planes, (pc * BL, 0, 0, 0), (BL, 8, SUB, 128)
             )
             out = banded_pass(
                 planes_p, xwin, g, ge, prev_row, prevF_row, haloH, haloE,
                 adjr - row0, adjc - c0,
                 R=R, W=W, TW=TW, K=K, band_cols=band_cols, kind=kind,
-                gap=gap, interpret=interpret,
+                gap=gap, interpret=interpret, B=BL,
             )
             edge_top = prev_row[band_cols]
-            rightH = out["hcol"][:, jtE].reshape(K * R)
+            rightH = out["hcol"][:, jtE].reshape(BL * R)
             parts = [edge_top[None], rightH]
             if affine:
-                parts.append(out["ecol"][:, jtE].reshape(K * R))
+                parts.append(out["ecol"][:, jtE].reshape(BL * R))
             new_msg = jnp.concatenate(parts)
-            prev_row = jnp.where(active, out["hrow"][K - 1], prev_row)
+            prev_row = jnp.where(active, out["hrow"][BL - 1], prev_row)
             if affine:
                 prevF_row = jnp.where(
-                    active, out["frow"][K - 1], prevF_row
+                    active, out["frow"][BL - 1], prevF_row
                 )
             msg = jnp.where(active, new_msg, msg)
 
             ys = {
                 "hrows": out["hrow"],
-                "hcols": out["hcol"][:, : jtE + 1].reshape(K, jtE + 1, R),
+                "hcols": out["hcol"][:, : jtE + 1].reshape(BL, jtE + 1, R),
             }
             if affine:
                 ys["frows"] = out["frow"]
                 ys["ecols"] = out["ecol"][:, : jtE + 1].reshape(
-                    K, jtE + 1, R
+                    BL, jtE + 1, R
                 )
             if is_sw:
-                ys["bv"] = out["bv"].reshape(K, R)
-                ys["bc"] = out["bc"].reshape(K, R)
+                ys["bv"] = out["bv"].reshape(BL, R)
+                ys["bc"] = out["bc"].reshape(BL, R)
             return (prev_row, prevF_row, msg), ys
 
         steps = n_pass + D - 1
@@ -262,8 +292,13 @@ def align_giant2(
     K = int(pr.get("kChains", 0) or k_def)
     band_cols = _cdiv(max(cols, 1), D * TW) * TW
     cols_p = band_cols * D
-    n_pass = _cdiv(_cdiv(max(rows, 1), R), K)
-    rows_p = n_pass * K * R
+    n_blocks = _cdiv(max(rows, 1), R)
+    KB = int(pr.get("passBlocks", 0) or 0) or pick_kb(
+        n_blocks, K, D, R=R, W=min(512, TW), TW=TW, band_cols=band_cols
+    )
+    BL = KB * K
+    n_pass = _cdiv(n_blocks, BL)
+    rows_p = n_pass * BL * R
     jtE = band_cols // TW
 
     y = np.zeros(1 + rows_p, np.int32)
@@ -294,7 +329,7 @@ def align_giant2(
         subst_d, y_d, x_d, jnp.int32(nw.gapo_cost), jnp.int32(nw.gape_cost),
         nw.adjrows, nw.adjcols,
         mesh=mesh, R=R, W=min(512, TW), TW=TW, K=K,
-        band_cols=band_cols, n_pass=n_pass,
+        band_cols=band_cols, n_pass=n_pass, KB=KB,
         kind=spec.kind.value, gap=spec.gap.value, interpret=interpret,
     )
     jax.block_until_ready(out_d)
@@ -318,7 +353,7 @@ def align_giant2(
         K=K, SUB=SUBv, affine=affine, is_sw=is_sw,
     ))
 
-    B = n_pass * K
+    B = n_pass * BL
     g = nw.gapo_cost
     ge = nw.gape_cost
     ninf = np.int32(NEG_INF_I32)

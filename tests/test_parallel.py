@@ -180,3 +180,37 @@ class TestGiant2:
                   random_seq(rng, cols), mesh,
                   params={"tileBy": [128], "tileBx": [128],
                           "kChains": [1]})
+
+    @pytest.mark.parametrize("spec_name", ["nw_ag", "sw_lg"])
+    def test_banded_v2_wrap_kb2(self, rng, blosum62, spec_name):
+        """Wrap (continuous) echelon inside the banded kernel: passBlocks=2
+        makes each pass fill BL = KB*K = 4 row blocks in ONE pallas_call
+        (cross-GROUP predecessor-row cascade through the prevb scratch,
+        per-block halo-column windows, per-block SMEM seeds). cols=1100
+        gives band_cols=640 so the wrap hazard guard holds exactly
+        (NSpad = 896 = (K-1)*OFF + R + W + 256 at R=TW=W=128, K=2);
+        rows=700 -> 6 blocks -> 2 passes with 2 blocks of row padding."""
+        mesh = make_mesh(2, axis_name="sp")
+        self._run(blosum62, spec_name, random_seq(rng, 700),
+                  random_seq(rng, 1100), mesh,
+                  params={"tileBy": [128], "tileBx": [128],
+                          "kChains": [2], "passBlocks": [2]})
+
+    def test_pick_kb_model(self):
+        """KB picker: 1 when the wrap hazard guard fails or blocks are
+        scarce; > 1 when passes are plentiful and the per-pass drain
+        dominates; never exceeds what n_blocks supports by much (padding
+        is penalized)."""
+        from gpuseqalign_tpu.parallel.giant2 import pick_kb
+
+        # Narrow band: wrap_ok fails -> 1.
+        assert pick_kb(100, 2, 4, R=128, W=128, TW=128, band_cols=256) == 1
+        # Few blocks -> 1.
+        assert pick_kb(2, 2, 4, R=128, W=128, TW=128, band_cols=640) == 1
+        # Plentiful blocks, D=1 (no pipeline cost): drain amortization
+        # pushes KB up.
+        kb = pick_kb(512, 4, 1, R=2048, W=512, TW=2048, band_cols=8192)
+        assert kb >= 4
+        # Same shape, D=8: pipeline bubble tempers KB.
+        kb8 = pick_kb(64, 4, 8, R=2048, W=512, TW=2048, band_cols=8192)
+        assert kb8 <= kb
