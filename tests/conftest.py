@@ -21,13 +21,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: opt-in via JAX_CACHE_DIR.  Caching makes
-# repeat suite runs fast (the unrolled Pallas kernel bodies take 1-4 min
-# each to compile on CPU), but serializing those huge CPU executables has
-# segfaulted the interpreter twice in this environment (zstd write path in
-# jax/_src/compilation_cache.py:put_executable_and_time), so it is OFF by
-# default.
-_cache_dir = os.environ.get("JAX_CACHE_DIR")
+# Persistent compilation cache: the Pallas interpret-mode tests are
+# dominated by XLA CPU compile time (the unrolled 128-step kernel bodies
+# take 1-4 min each to compile); caching makes repeat suite runs ~5x
+# faster. The cache-write segfaults observed 2026-08-17 were mmap-count
+# exhaustion (see the map guard below), not cache corruption — with the
+# guard in place the cache is safe. Set JAX_CACHE_DIR= (empty) to disable.
+_cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_gsa_tests")
 if _cache_dir:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)

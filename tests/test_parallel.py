@@ -181,7 +181,7 @@ class TestGiant2:
                   params={"tileBy": [128], "tileBx": [128],
                           "kChains": [1]})
 
-    @pytest.mark.parametrize("spec_name", ["nw_ag", "sw_lg"])
+    @pytest.mark.parametrize("spec_name", ["nw_ag", "sw_lg", "sw_ag"])
     def test_banded_v2_wrap_kb2(self, rng, blosum62, spec_name):
         """Wrap (continuous) echelon inside the banded kernel: passBlocks=2
         makes each pass fill BL = KB*K = 4 row blocks in ONE pallas_call
