@@ -41,17 +41,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import NEG_INF_I32
-from .pallas_wavefront2 import _cdiv, _make_kernel, _pack_planes  # noqa: F401
-
-
-def wrap_ok(*, R: int, W: int, K: int, band_cols: int) -> bool:
-    """True when the continuous (wrap) echelon is hazard-free for this band
-    geometry: chain 0 of group g reads the predecessor row chain K-1
-    (group g-1) is still writing, safe only while the write frontier leads
-    the read frontier (same guard as the full-matrix wrap kernel)."""
-    NSpad = _cdiv(R + band_cols - 1 + 128, W) * W
-    OFF = W * _cdiv(R + 256, W)
-    return NSpad >= (K - 1) * OFF + R + W + 256
+from .pallas_wavefront2 import (  # noqa: F401
+    _cdiv,
+    _make_kernel,
+    _pack_planes,
+    wrap_interleave,
+    wrap_loc,
+    wrap_ok,
+)
 
 
 @functools.partial(
@@ -139,9 +136,7 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
     )
 
     def _wloc(ch, k):
-        lch = ch - k * offw
-        bbk = jnp.clip(lch // SPB, 0, BBtot - 1)
-        return bbk, lch - bbk * SPB
+        return wrap_loc(ch, k, offw=offw, SPB=SPB, BBtot=BBtot)
 
     def fixed(shape):
         nd = len(shape)
@@ -296,18 +291,13 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
         # Chain k wrote only rows bbk*K + k of its own array; interleave.
         if not wrap:
             return jnp.concatenate([p[0] for p in parts], axis=0)
-        return jnp.stack(
-            [parts[k].reshape(BBtot, K, 1, prev_len)[:, k, 0]
-             for k in range(K)], axis=1,
-        ).reshape(B, prev_len)
+        return wrap_interleave([p[:, 0] for p in parts], BBtot, K,
+                               (prev_len,))
 
     def merge_tail(parts, tail):
         if not wrap:
             return jnp.concatenate(parts, axis=0)
-        return jnp.stack(
-            [parts[k].reshape((BBtot, K) + tail)[:, k] for k in range(K)],
-            axis=1,
-        ).reshape((B,) + tail)
+        return wrap_interleave(parts, BBtot, K, tail)
 
     pos = 0
     out = {"hrow": merge_rows(outs[pos: pos + K])}

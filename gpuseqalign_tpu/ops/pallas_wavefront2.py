@@ -604,6 +604,36 @@ def _pack_planes(subst, Y, B, R):
     return w.reshape(B, SUB, 128, 8).transpose(0, 3, 1, 2)
 
 
+def wrap_ok(*, R: int, W: int, K: int, band_cols: int) -> bool:
+    """True when the continuous (wrap) echelon is hazard-free for this
+    geometry (``band_cols`` is the padded column count — cols_p for the
+    full matrix, the per-device band width for the banded engine): chain 0
+    of group g reads the predecessor row chain K-1 (group g-1) is still
+    writing, safe only while the write frontier leads the read frontier
+    (see the _make_kernel wrap docstring for the derivation)."""
+    NSpad = _cdiv(R + band_cols - 1 + 128, W) * W
+    OFF = W * _cdiv(R + 256, W)
+    return NSpad >= (K - 1) * OFF + R + W + 256
+
+
+def wrap_loc(ch, k, *, offw: int, SPB: int, BBtot: int):
+    """Chain k's (group index, within-block chunk) at wrap grid step ch;
+    bubble phases (before the chain's first block / after its last) clip
+    to a real group so gated stores land only in ignored slots."""
+    lch = ch - k * offw
+    bbk = jnp.clip(lch // SPB, 0, BBtot - 1)
+    return bbk, lch - bbk * SPB
+
+
+def wrap_interleave(parts, BBtot: int, K: int, tail: tuple):
+    """Merge K per-chain output arrays — chain k wrote only rows
+    bbk*K + k of its own (BBtot*K,) + tail array — into one (B,) + tail."""
+    return jnp.stack(
+        [parts[k].reshape((BBtot, K) + tail)[:, k] for k in range(K)],
+        axis=1,
+    ).reshape((BBtot * K,) + tail)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("R", "W", "TW", "K", "kind", "gap", "interpret"),
@@ -652,7 +682,7 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
     # chain K-1 (group g-1) is still writing, safe iff the write frontier
     # leads the read frontier by a window (see _make_kernel docstring).
     SPB = NSpad // W
-    use_wrap = NSpad >= (K - 1) * OFF + R + W + 256
+    use_wrap = wrap_ok(R=R, W=W, K=K, band_cols=cols_p)
     if use_wrap:
         CT = _cdiv(SPB, TW // W)
         grid = (BB * SPB + (K - 1) * offw,)
@@ -685,9 +715,7 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
 
     if use_wrap:
         def _wloc(ch, k):
-            lch = ch - k * offw
-            bbk = jnp.clip(lch // SPB, 0, BB - 1)
-            return bbk, lch - bbk * SPB
+            return wrap_loc(ch, k, offw=offw, SPB=SPB, BBtot=BB)
 
         planes_spec = _S(
             (1, 8, SUB, 128),
@@ -785,22 +813,15 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
 
     # Chain k wrote only rows bb*K + k of its own output array; interleave.
     def merge_rows(parts):
-        return jnp.stack(
-            [parts[k].reshape(BB, K, prev_len)[:, k] for k in range(K)],
-            axis=1,
-        ).reshape(B, prev_len)
+        return wrap_interleave(
+            [p[:, 0] for p in parts], BB, K, (prev_len,)
+        )
 
     def merge_cols(parts):
-        return jnp.stack(
-            [parts[k].reshape(BB, K, CT, SUB, 128)[:, k] for k in range(K)],
-            axis=1,
-        ).reshape(B, CT, SUB, 128)
+        return wrap_interleave(parts, BB, K, (CT, SUB, 128))
 
     def merge_blks(parts):
-        return jnp.stack(
-            [parts[k].reshape(BB, K, SUB, 128)[:, k] for k in range(K)],
-            axis=1,
-        ).reshape(B, SUB, 128)
+        return wrap_interleave(parts, BB, K, (SUB, 128))
 
     pos = 0
     out = {"hrow": merge_rows(outs[pos: pos + K])}

@@ -55,6 +55,10 @@ from ..core.types import (
 from ..ops.pallas_banded import banded_pass, wrap_ok
 from ..ops.pallas_wavefront2 import _cdiv, _pack_planes
 
+# Wrap-banded (KB > 1) on REAL TPU hardware: set True once the kernel has
+# passed the on-chip differential drive (align_giant2 gates auto-KB on it).
+_WRAP_TPU_VALIDATED = False
+
 
 def pick_kb(n_blocks: int, K: int, D: int, *, R: int, W: int, TW: int,
             band_cols: int, kb_max: int = 8) -> int:
@@ -293,9 +297,24 @@ def align_giant2(
     band_cols = _cdiv(max(cols, 1), D * TW) * TW
     cols_p = band_cols * D
     n_blocks = _cdiv(max(rows, 1), R)
-    KB = int(pr.get("passBlocks", 0) or 0) or pick_kb(
-        n_blocks, K, D, R=R, W=min(512, TW), TW=TW, band_cols=band_cols
-    )
+    KB = int(pr.get("passBlocks", 0) or 0)
+    if KB > 1 and not wrap_ok(R=R, W=min(512, TW), K=K,
+                              band_cols=band_cols):
+        # Explicitly-requested wrap with a hazard-violating geometry is an
+        # invalid param combo (same contract as bad affine costs above).
+        return Status.errorInvalidValue
+    if not KB:
+        # Auto KB > 1 engages the wrap-banded echelon. On the real-TPU
+        # path it stays off until the kernel has been hardware-validated
+        # by the differential drive (interpret mode clamps OOB VMEM
+        # accesses; real TPUs wrap them into adjacent buffers — see
+        # CLAUDE.md): flip _WRAP_TPU_VALIDATED after that run.
+        if interpret or _WRAP_TPU_VALIDATED or \
+                jax.default_backend() != "tpu":
+            KB = pick_kb(n_blocks, K, D, R=R, W=min(512, TW), TW=TW,
+                         band_cols=band_cols)
+        else:
+            KB = 1
     BL = KB * K
     n_pass = _cdiv(n_blocks, BL)
     rows_p = n_pass * BL * R

@@ -181,20 +181,45 @@ class TestGiant2:
                   params={"tileBy": [128], "tileBx": [128],
                           "kChains": [1]})
 
-    @pytest.mark.parametrize("spec_name", ["nw_ag", "sw_lg", "sw_ag"])
-    def test_banded_v2_wrap_kb2(self, rng, blosum62, spec_name):
+    @pytest.mark.parametrize("spec_name,k", [("nw_lg", 1), ("nw_ag", 2),
+                                             ("sw_lg", 2), ("sw_ag", 2)])
+    def test_banded_v2_wrap_kb2(self, rng, blosum62, spec_name, k):
         """Wrap (continuous) echelon inside the banded kernel: passBlocks=2
-        makes each pass fill BL = KB*K = 4 row blocks in ONE pallas_call
+        makes each pass fill BL = KB*K row blocks in ONE pallas_call
         (cross-GROUP predecessor-row cascade through the prevb scratch,
         per-block halo-column windows, per-block SMEM seeds). cols=1100
         gives band_cols=640 so the wrap hazard guard holds exactly
         (NSpad = 896 = (K-1)*OFF + R + W + 256 at R=TW=W=128, K=2);
-        rows=700 -> 6 blocks -> 2 passes with 2 blocks of row padding."""
+        rows=700 -> 6 blocks -> 2 passes with 2 blocks of row padding.
+        nw_lg runs K=1 — the reference-parity spec through the
+        single-chain wrap (kp == k self-predecessor) configuration."""
         mesh = make_mesh(2, axis_name="sp")
         self._run(blosum62, spec_name, random_seq(rng, 700),
                   random_seq(rng, 1100), mesh,
                   params={"tileBy": [128], "tileBx": [128],
-                          "kChains": [2], "passBlocks": [2]})
+                          "kChains": [k], "passBlocks": [2]})
+
+    def test_banded_v2_wrap_invalid_geometry(self, rng, blosum62):
+        """Explicit passBlocks > 1 with a hazard-violating geometry (narrow
+        band) must return errorInvalidValue, not crash mid-trace."""
+        from gpuseqalign_tpu.parallel.giant2 import align_giant2
+
+        mesh = make_mesh(2, axis_name="sp")
+        y, x = random_seq(rng, 300), random_seq(rng, 500)
+        nw = AlgInput()
+        nw.subst = blosum62
+        nw.substsz = blosum62.shape[0]
+        nw.seqY, nw.seqX = y, x
+        nw.adjrows, nw.adjcols = len(y), len(x)
+        nw.gapo_cost = -11
+        nw.spec = AlignSpec.from_name("nw_lg")
+        res = AlgResult()
+        stat = align_giant2(
+            AlgParams({"tileBy": [128], "tileBx": [128], "kChains": [2],
+                       "passBlocks": [2]}),
+            nw, res, mesh=mesh, interpret=True,
+        )
+        assert stat == Status.errorInvalidValue
 
     def test_pick_kb_model(self):
         """KB picker: 1 when the wrap hazard guard fails or blocks are
