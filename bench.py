@@ -174,8 +174,31 @@ def nw_spec():
     return AlignSpec.from_name(f"{KIND}_{'ag' if GAP == 'affine' else 'lg'}")
 
 
+def _tpu_reachable(timeout_s: int = 180) -> bool:
+    """Probe the default backend in a SUBPROCESS with a hard timeout: a
+    wedged axon tunnel hangs jax.default_backend() indefinitely at the
+    terminal-server claim (observed 5+ h on 2026-08-17), which would hang
+    this whole benchmark instead of degrading to the CPU fallback."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('BK:' + jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return p.returncode == 0 and "BK:tpu" in p.stdout
+
+
 def main() -> int:
+    tpu_up = _tpu_reachable()
     import jax
+
+    if not tpu_up:
+        # Pin BEFORE any backend query so the wedged plugin never loads.
+        jax.config.update("jax_platforms", "cpu")
 
     from gpuseqalign_tpu.core.types import AlgInput, AlgParams, AlgResult, Status
     from gpuseqalign_tpu.models.cpu_algs import align_cpu1_st_row
@@ -183,7 +206,7 @@ def main() -> int:
     global R, W, TW, K
     R, W, TW, K = _kernel_params()
     subst, y = _load_fixture()
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = tpu_up and jax.default_backend() == "tpu"
     rows = cols = len(y) - 1
 
     t = _bench_tpu_v2(subst, y) if on_tpu else _bench_fallback(subst, y)
