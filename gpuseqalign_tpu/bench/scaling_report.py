@@ -216,9 +216,21 @@ def main(argv: Optional[List[str]] = None) -> int:
               "configs": {}}
     t_all = time.time()
 
-    # 1 chip / 1 device, default backend.
+    # 1 chip / 1 device, default backend. A wedged axon tunnel hangs
+    # backend init indefinitely at the terminal-server claim, so probe
+    # reachability first and degrade this row to a pinned-CPU device
+    # (the row's "backend" field records which one ran).
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('BK:' + jax.default_backend())"],
+            capture_output=True, text=True, timeout=180, cwd=REPO,
+        )
+        tpu_up = probe.returncode == 0 and "BK:" in probe.stdout
+    except subprocess.TimeoutExpired:
+        tpu_up = False
     report["configs"]["1chip"] = _run_worker(
-        BATCH_WORKER.format(pin_cpu="False", n_dev=0, sizes=sizes,
+        BATCH_WORKER.format(pin_cpu=str(not tpu_up), n_dev=0, sizes=sizes,
                             spec=args.spec),
         {},
     )
