@@ -12,6 +12,7 @@ Usage: python -m gpuseqalign_tpu --algParamPath p --seqPath p [params]
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import datetime
 import os
@@ -56,6 +57,11 @@ Parameters:
 --debugPath <path>         Debug TXT output path for score matrices/traces.
 --fPrintScore              Print the score matrix to the debug file.
 --fPrintTrace              Print the trace to the debug file.
+--profileDir <path>        Capture a jax.profiler trace of the whole benchmark
+                           into this directory (viewable with TensorBoard /
+                           xprof). TPU-native analog of the reference's
+                           RelWithDebInfo + external-profiler flow
+                           (ref: README.md:117-118).
 
 -h, --help                 Print help and exit.
 """
@@ -82,6 +88,7 @@ class CmdArgs:
     debug_path: Optional[str] = None
     f_print_score: Optional[bool] = None
     f_print_trace: Optional[bool] = None
+    profile_dir: Optional[str] = None
     iso_datetime: str = ""
 
 
@@ -213,6 +220,11 @@ def parse_cmd_args(argv: List[str], cmd_args: CmdArgs) -> Status:
                 else Status.success
             )
             cmd_args.f_print_trace = True
+        elif arg == "--profileDir":
+            cmd_args.profile_dir, stat = take_str(
+                i, cmd_args.profile_dir, arg
+            )
+            i += 1
         elif arg in ("-h", "--help"):
             print(USAGE)
             return Status.helpMenuRequested
@@ -383,8 +395,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         return -1
 
     bench_data = BenchmarkData()
+    profile_cm = contextlib.nullcontext()
+    if cmd_args.profile_dir:
+        import jax
+
+        os.makedirs(cmd_args.profile_dir, exist_ok=True)
+        profile_cm = jax.profiler.trace(cmd_args.profile_dir)
     try:
-        stat = benchmark_algs(cmd_args, cmd_data, bench_data)
+        with profile_cm:
+            stat = benchmark_algs(cmd_args, cmd_data, bench_data)
     finally:
         if cmd_data.res_ofs:
             cmd_data.res_ofs.close()

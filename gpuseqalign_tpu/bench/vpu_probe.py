@@ -118,20 +118,27 @@ def _shift2(v, f, l_iota, i2d):
     return jnp.where(i2d == 0, f, out)
 
 
-def probe_skeleton(affine: bool) -> dict:
-    """Irreducible wavefront step at K interleaved chains -> GCUPS."""
-    a8 = jnp.ones((SUB, 128), jnp.int32)
+def probe_skeleton(affine: bool, sub: int = SUB, ks=None) -> dict:
+    """Irreducible wavefront step at K interleaved chains -> GCUPS.
+
+    `sub` parametrizes the carry height (R = sub*128): the `subk` probe
+    sweeps it to answer whether shrinking per-chain state (sub=8 halves
+    every carry to one vreg) lets enough extra chains compile to beat the
+    sub=16 K_max plateau — the K=7 register-spill cliff question
+    (ROOFLINE.md remaining agenda #1)."""
+    a8 = jnp.ones((sub, 128), jnp.int32)
     res = {}
-    ks = (1, 2, 3, 4, 6) if affine else (1, 2, 4, 6, 8)
+    if ks is None:
+        ks = (1, 2, 3, 4, 6) if affine else (1, 2, 4, 6, 8)
     for K in ks:
         def body_one(a, st, K=K):
             # Constants must be created in kernel scope (pallas rejects
             # captured traced constants).
             g = jnp.int32(-11)
             ge = jnp.int32(-2)
-            l_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
+            l_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
             i2d = (
-                jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0) * 128
+                jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0) * 128
                 + l_iota
             )
             fill = a[0:1, :]
@@ -156,12 +163,12 @@ def probe_skeleton(affine: bool) -> dict:
         state = 4 if affine else 2
         dt = _time_pair(
             lambda m, K=K, b=body_one, s=state: _chain_kernel(b, K, m, s,
-                                                              (SUB, 128)),
+                                                              (sub, 128)),
             a8, 50_000, 300_000,
         )
         res[f"K{K}"] = {
             "ns_per_chain_step": round(dt * 1e9 / K, 3),
-            "gcups": round(K * SUB * 128 / dt / 1e9, 2),
+            "gcups": round(K * sub * 128 / dt / 1e9, 2),
         }
     return res
 
@@ -182,6 +189,21 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
       noheader  drop the diag/left header injections (valid only for
                 steps past the fill phase, c >= R — a region-split body)
       lean      smemx + lookup6 + noheader combined
+
+    Carry-ablation variants (the K=7 register-spill question — which
+    per-chain carry must shrink for one more chain to compile; run at
+    K=7 where `base` is known to spill-collapse to ~11 GCUPS):
+
+      noacc     drop the hcol accumulator carry (1 vector/chain; the real
+                kernel would move the capture to a per-window VMEM
+                read-modify-write instead)
+      noprow    drop the bottom-row capture carry ((1,128)/chain; VMEM
+                store per step is the real-kernel alternative)
+      noxcarry  recompute the lookup operand from the stream instead of
+                carrying the xd shift register (1 vector/chain; costs one
+                extra vector add per step, drops 1 shift2)
+      mincarry  all three — the smallest plausible production carry set
+                (v1, sh1p only, like the skeleton)
     """
     variants = variants or ["base", "nolookup", "lookup6", "smemx",
                             "noheader", "lean"]
@@ -191,7 +213,8 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
     res = {}
 
     def make_run(m, *, nolookup=False, planes6=False, smemx=False,
-                 noheader=False, interpret=False):
+                 noheader=False, noacc=False, noprow=False,
+                 noxcarry=False, interpret=False):
         def kernel(xs_ref, a_ref, planes_ref, o_ref):
             a = a_ref[...]
             g = jnp.int32(-11)
@@ -210,7 +233,7 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                 out = jnp.where(l_iota == 0, c, b)
                 return jnp.where(i2d == 0, f, out)
 
-            NC = 5
+            NC = 5 - int(noxcarry) - int(noacc) - int(noprow)
 
             def body(w, carry):
                 vs = list(carry)
@@ -218,10 +241,25 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                 selbs = [jnp.mod(clocs[k] + 1, 2048) for k in range(K)]
                 for tt in range(128):
                     for k in range(K):
-                        v1, sh1p, xd, acc, prow = vs[NC * k: NC * (k + 1)]
+                        st = list(vs[NC * k: NC * (k + 1)])
+                        v1, sh1p = st[0], st[1]
+                        n = 2
+                        xd = acc = prow = None
+                        if not noxcarry:
+                            xd = st[n]
+                            n += 1
+                        if not noacc:
+                            acc = st[n]
+                            n += 1
+                        if not noprow:
+                            prow = st[n]
                         c = clocs[k] + tt
                         # --- substitution operand ---
-                        if smemx:
+                        if noxcarry:
+                            # Recompute the lookup operand (one vector
+                            # add) instead of carrying a shift register.
+                            xd = (a + c) & 31
+                        elif smemx:
                             xval = xs_ref[0, jnp.mod(c + 1, 1024)]
                             xd = shift2(xd, jnp.full(
                                 (SUB, 128), xval, jnp.int32))
@@ -270,22 +308,36 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                             diag + s, jnp.maximum(sh1, left) + g
                         )
                         # --- captures ---
-                        sel_p = (tt + 2) % 128
-                        bot = cell[SUB - 1:SUB, :]
-                        last = pltpu.roll(bot, (sel_p + 1) % 128, axis=1)
-                        prow = jnp.where(
-                            (l_row == sel_p) & (c >= 2047), last, prow
-                        )
-                        sel = selbs[k] + tt
-                        sel = sel - jnp.where(sel >= 2048, 2048, 0)
-                        acc = jnp.where(i2d == sel, cell, acc)
-                        vs[NC * k: NC * (k + 1)] = [cell, sh1, xd, acc,
-                                                    prow]
+                        st = [cell, sh1]
+                        if not noxcarry:
+                            st.append(xd)
+                        if not noacc:
+                            sel = selbs[k] + tt
+                            sel = sel - jnp.where(sel >= 2048, 2048, 0)
+                            acc = jnp.where(i2d == sel, cell, acc)
+                            st.append(acc)
+                        if not noprow:
+                            sel_p = (tt + 2) % 128
+                            bot = cell[SUB - 1:SUB, :]
+                            last = pltpu.roll(
+                                bot, (sel_p + 1) % 128, axis=1
+                            )
+                            prow = jnp.where(
+                                (l_row == sel_p) & (c >= 2047), last, prow
+                            )
+                            st.append(prow)
+                        vs[NC * k: NC * (k + 1)] = st
                 return tuple(vs)
 
             init = []
             for k in range(K):
-                init += [a + k, a + k + 1, a & 31, a, a[0:1, :]]
+                init += [a + k, a + k + 1]
+                if not noxcarry:
+                    init.append(a & 31)
+                if not noacc:
+                    init.append(a)
+                if not noprow:
+                    init.append(a[0:1, :])
             out = jax.lax.fori_loop(0, m, body, tuple(init))
             # Consume EVERY carry so no chain is dead-code-eliminable.
             s = out[0]
@@ -308,14 +360,6 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
 
         return run
 
-    if variants == ["__check__"]:  # CPU interpret-mode trace check
-        for name, kw in [("base", {}), ("lean", {"smemx": True,
-                                                 "planes6": True,
-                                                 "noheader": True})]:
-            r = make_run(1, interpret=True, **kw)
-            np.asarray(jax.device_get(r(xs, a8, planes)))
-        return {"check": "ok"}
-
     flags = {
         "base": {},
         "nolookup": {"nolookup": True},
@@ -323,7 +367,17 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
         "smemx": {"smemx": True},
         "noheader": {"noheader": True},
         "lean": {"smemx": True, "planes6": True, "noheader": True},
+        "noacc": {"noacc": True},
+        "noprow": {"noprow": True},
+        "noxcarry": {"noxcarry": True},
+        "mincarry": {"noacc": True, "noprow": True, "noxcarry": True},
     }
+
+    if variants == ["__check__"]:  # CPU interpret-mode trace check
+        for name, kw in flags.items():
+            r = make_run(1, interpret=True, **kw)
+            np.asarray(jax.device_get(r(xs, a8, planes)))
+        return {"check": "ok"}
     for name in variants:
         kw = flags[name]
 
@@ -401,10 +455,19 @@ def main(argv) -> int:
         }))
     if which in ("fullstep", "all"):
         K = int(argv[2]) if len(argv) > 2 else 4
+        variants = argv[3].split(",") if len(argv) > 3 else None
         print(json.dumps({
             "probe": "fullstep_nw_lg", "device": dev, "K": K,
-            **probe_fullstep(K),
+            **probe_fullstep(K, variants),
         }))
+    if which == "subk":
+        # Carry-height sweep: does sub=8 with 2x the chains beat the
+        # sub=16 plateau once per-chain state halves? (ROOFLINE agenda #1)
+        for sub, ks in ((16, (6, 8)), (8, (6, 8, 12, 16)), (32, (3, 4))):
+            print(json.dumps({
+                "probe": f"skeleton_nw_lg_sub{sub}", "device": dev,
+                **probe_skeleton(False, sub=sub, ks=ks),
+            }), flush=True)
     if which in ("int16", "all"):
         print(json.dumps({"probe": "int16", "device": dev,
                           **probe_int16()}))

@@ -200,7 +200,11 @@ class _TileCache:
             mats = align_tile_full(self.nw, co)
             if len(self.tiles) >= self.cap:
                 self.tiles.pop(next(iter(self.tiles)))
-            self.tiles[key] = mats
+        else:
+            # LRU, not FIFO: the walk re-reads the current tile between
+            # neighbor (E/F-owner) reads — keep hot tiles resident.
+            del self.tiles[key]
+        self.tiles[key] = mats
         return mats
 
 

@@ -116,6 +116,32 @@ def test_cli_extended_kinds_agree(tmp_path, kind):
         assert len(vals) == 1, (key, vals)
 
 
+@pytest.mark.parametrize("kind", ["nw_ag", "sw_ag"])
+def test_cli_extended_kinds_giant_engine(tmp_path, kind):
+    """tpu9_giant_mlsp must serve ALL four specs through the CLI off-TPU
+    too (interpret-mode banded engine; regression for the dispatch that
+    routed extension specs to the NW_LG-only XLA giant)."""
+    algs = {
+        "cpu1_st_row": {},
+        "tpu9_giant_mlsp": {},
+    }
+    rc, rows = run_cli(
+        tmp_path, align_kind=kind, algs=algs,
+        pairs="len31 len33\nlen66 len128\n",
+        extra=("--gapeCost", "-2"),
+    )
+    assert rc == 0
+    assert all(r["err_step"] == "0" for r in rows)
+    by_pair = {}
+    for r in rows:
+        key = (r["seqY_id"], r["seqX_id"])
+        by_pair.setdefault(key, set()).add(
+            (r["align_cost"], r["score_hash"], r["trace_hash"])
+        )
+    for key, vals in by_pair.items():
+        assert len(vals) == 1, (key, vals)
+
+
 def test_cli_reference_alias_names(tmp_path):
     algs = {
         "NwAlign_Cpu1_St_Row": {},
@@ -141,6 +167,23 @@ def test_cli_warmup_and_samples(tmp_path):
     assert rows[0]["warmup_runs"] == "1"
     assert rows[0]["sample_runs"] == "2"
     assert rows[0]["last_run_idx"] == "1"
+
+
+def test_cli_profile_dir(tmp_path):
+    """--profileDir wraps the run in jax.profiler.trace and leaves an
+    xplane artifact behind."""
+    prof = tmp_path / "prof"
+    rc, rows = run_cli(
+        tmp_path, algs={"cpu1_st_row": {}}, pairs="len32 len64\n",
+        extra=("--profileDir", str(prof)),
+    )
+    assert rc == 0
+    artifacts = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(prof)
+        for f in files
+    ]
+    assert any(f.endswith(".xplane.pb") for f in artifacts)
 
 
 def test_cli_help():
