@@ -98,10 +98,16 @@ def get_algorithm_map() -> Dict[str, Algorithm]:
 
         from ..parallel.giant import align_giant_mlsp
         from ..parallel.giant2 import align_giant2
+        from .types import AlignKind, GapKind
 
         if jax.default_backend() == "tpu":
             return align_giant2(pr, nw, res)
-        return align_giant_mlsp(pr, nw, res)
+        if nw.spec.kind == AlignKind.NW and nw.spec.gap == GapKind.LINEAR:
+            return align_giant_mlsp(pr, nw, res)
+        # Extension specs have no XLA giant form; run the banded Pallas
+        # engine in interpret mode so the full CLI surface (all four
+        # specs) stays drivable off-TPU.
+        return align_giant2(pr, nw, res, interpret=True)
 
     algs["tpu9_giant_mlsp"] = mlsp(align_giant)
 

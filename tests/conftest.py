@@ -27,8 +27,29 @@ jax.config.update("jax_platforms", "cpu")
 # faster. The cache-write segfaults observed 2026-08-17 were mmap-count
 # exhaustion (see the map guard below), not cache corruption — with the
 # guard in place the cache is safe. Set JAX_CACHE_DIR= (empty) to disable.
+#
+# The dir is suffixed with a host-CPU fingerprint: XLA:CPU AOT results
+# embed the compile machine's feature set, and this box migrates between
+# hosts with different CPUs — loading a stale entry warns "could lead to
+# execution errors such as SIGILL" (observed 2026-08-17).
+
+
+def _cpu_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "nofp"
+
+
 _cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_gsa_tests")
 if _cache_dir:
+    _cache_dir = f"{_cache_dir}_{_cpu_fingerprint()}"
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -116,30 +116,39 @@ def test_cli_extended_kinds_agree(tmp_path, kind):
         assert len(vals) == 1, (key, vals)
 
 
-@pytest.mark.parametrize("kind", ["nw_ag", "sw_ag"])
-def test_cli_extended_kinds_giant_engine(tmp_path, kind):
-    """tpu9_giant_mlsp must serve ALL four specs through the CLI off-TPU
-    too (interpret-mode banded engine; regression for the dispatch that
-    routed extension specs to the NW_LG-only XLA giant)."""
-    algs = {
-        "cpu1_st_row": {},
-        "tpu9_giant_mlsp": {},
-    }
-    rc, rows = run_cli(
-        tmp_path, align_kind=kind, algs=algs,
-        pairs="len31 len33\nlen66 len128\n",
-        extra=("--gapeCost", "-2"),
+@pytest.mark.parametrize("kind", ["nw_lg", "nw_ag", "sw_lg", "sw_ag"])
+def test_giant_registry_dispatch_off_tpu(monkeypatch, kind):
+    """tpu9_giant_mlsp must serve ALL four specs off-TPU: NW_LG routes to
+    the XLA giant engine, extension specs to the banded Pallas engine in
+    interpret mode (regression: they used to hit the NW_LG-only XLA giant
+    and fail with errorInvalidValue). Routing only — engine correctness
+    per spec is covered by tests/test_parallel.py::TestGiant2; a full
+    interpret compile of the 8-band CLI default mesh takes >10 min, and
+    the standalone verify drive exercises that path end to end."""
+    from gpuseqalign_tpu.core import registry as reg
+    from gpuseqalign_tpu.core.types import (
+        AlgInput, AlgParams, AlgResult, AlignSpec, Status,
     )
-    assert rc == 0
-    assert all(r["err_step"] == "0" for r in rows)
-    by_pair = {}
-    for r in rows:
-        key = (r["seqY_id"], r["seqX_id"])
-        by_pair.setdefault(key, set()).add(
-            (r["align_cost"], r["score_hash"], r["trace_hash"])
-        )
-    for key, vals in by_pair.items():
-        assert len(vals) == 1, (key, vals)
+    import gpuseqalign_tpu.parallel.giant as giant
+    import gpuseqalign_tpu.parallel.giant2 as giant2
+
+    calls = []
+    monkeypatch.setattr(
+        giant, "align_giant_mlsp",
+        lambda pr, nw, res: calls.append("xla") or Status.success,
+    )
+    monkeypatch.setattr(
+        giant2, "align_giant2",
+        lambda pr, nw, res, interpret=False: calls.append(
+            f"banded_interp={interpret}"
+        ) or Status.success,
+    )
+    nw = AlgInput()
+    nw.spec = AlignSpec.from_name(kind)
+    alg = reg.get_algorithm_map()["tpu9_giant_mlsp"]
+    assert alg.align(AlgParams({}), nw, AlgResult()) == Status.success
+    expected = "xla" if kind == "nw_lg" else "banded_interp=True"
+    assert calls == [expected]
 
 
 def test_cli_reference_alias_names(tmp_path):
