@@ -163,6 +163,84 @@ print(json.dumps({{
 """
 
 
+GIANT_STREAM_WORKER = r"""
+import json, sys, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from gpuseqalign_tpu.core.types import (
+    AlgInput, AlgParams, AlgResult, AlignSpec, Status,
+)
+from gpuseqalign_tpu.parallel import (
+    align_giant2, align_giant2_stream, make_mesh,
+)
+
+D = int(sys.argv[1])
+M = int(sys.argv[2])
+rng = np.random.default_rng(7)
+def seq(n):
+    return np.concatenate(
+        [np.zeros(1, np.int32), rng.integers(0, 25, n, dtype=np.int32)]
+    )
+subst = rng.integers(-4, 10, size=(25, 25)).astype(np.int32)
+mesh = make_mesh(D, axis_name="sp")
+params = AlgParams({{"tileBy": [128], "tileBx": [128], "kChains": [2],
+                     "passBlocks": [1]}})
+spec = AlignSpec.from_name("{spec}")
+
+def mk():
+    nw = AlgInput()
+    nw.subst = subst; nw.substsz = 25
+    nw.seqY, nw.seqX = seq({rows}), seq({cols})
+    nw.adjrows, nw.adjcols = len(nw.seqY), len(nw.seqX)
+    nw.gapo_cost = -11; nw.gape_cost = -2
+    nw.spec = spec
+    return nw
+
+# Same sizes -> the sequential path compiles ONCE; content differs.
+inputs = [mk() for _ in range(M)]
+
+def run_seq():
+    costs = []
+    for nw in inputs:
+        res = AlgResult()
+        stat = align_giant2(params, nw, res, mesh=mesh, interpret=True)
+        assert stat == Status.success, stat
+        costs.append(res.align_cost)
+    return costs
+
+def run_stream():
+    results = [AlgResult() for _ in inputs]
+    stats = align_giant2_stream(params, inputs, results, mesh=mesh,
+                                interpret=True)
+    assert stats == [Status.success] * M, stats
+    return [r.align_cost for r in results]
+
+c_seq = run_seq()          # warm (compile)
+t0 = time.perf_counter(); c_seq = run_seq()
+t_seq = time.perf_counter() - t0
+c_str = run_stream()       # warm (compile)
+t0 = time.perf_counter(); c_str = run_stream()
+t_str = time.perf_counter() - t0
+assert c_seq == c_str, (c_seq, c_str)
+
+# Step-count model: per-device scan steps actually executed (inactive
+# pipeline steps cost the same as active ones under the masked scan).
+import math
+R, K = 128, 2
+n_pass = math.ceil(math.ceil(({rows}) / R) / K)
+steps_seq = M * (n_pass + D - 1)
+steps_str = M * n_pass + D - 1
+print(json.dumps({{
+    "n_devices": D, "pairs": M, "n_pass_per_pair": n_pass,
+    "t_sequential_s": round(t_seq, 3),
+    "t_stream_s": round(t_str, 3),
+    "speedup": round(t_seq / t_str, 3),
+    "step_model_speedup": round(steps_seq / steps_str, 3),
+}}))
+"""
+
+
 def _run_worker(code: str, env_extra: dict, args: Optional[List[str]] = None,
                 timeout: int = 600) -> dict:
     import tempfile
@@ -291,6 +369,21 @@ def main(argv: Optional[List[str]] = None) -> int:
             g4["gcups_per_device"] / g1["gcups_per_device"], 3
         ),
     }
+    # Giant-pair STREAM: M pairs through one pipelined fill vs M
+    # sequential fills at D=4 — measures the cross-device fill/drain
+    # bubble amortization (the masked scan makes inactive steps cost the
+    # same as active ones, so the ratio tracks the step-count model even
+    # on CPU-interpret devices).
+    report["configs"]["giant_stream"] = _run_worker(
+        GIANT_STREAM_WORKER.format(
+            spec=args.spec,
+            rows=256 if args.quick else 700,
+            cols=600 if args.quick else 1100,
+        ),
+        {"XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
+        args=["4", "3" if args.quick else "6"],
+        timeout=2400,
+    )
     report["elapsed_s"] = round(time.time() - t_all, 1)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -79,6 +79,76 @@ def _run_streaming(args, spec, subst, letter_map) -> int:
     return 1 if n_bad else 0
 
 
+def _run_giant_stream(args, spec, subst, pairs) -> int:
+    """Giant-pair STREAM throughput: the whole pair list through ONE
+    pipelined distributed fill (parallel/giant2.align_giant2_stream) on a
+    sequence-parallel mesh — the cross-device fill/drain bubble and the
+    per-call dispatch overhead are paid once per stream, not per pair."""
+    import jax
+
+    from ..core.types import AlgInput, AlgParams, AlgResult, Status
+    from ..models.oracle import align_cost_of, oracle_align_dense
+    from ..parallel import align_giant2_stream
+    from ..parallel.mesh import make_mesh as mk
+
+    mesh = mk(args.devices or 1, axis_name="sp")
+    interpret = jax.default_backend() != "tpu"
+    inputs = []
+    for y, x in pairs:
+        nw = AlgInput()
+        nw.subst = subst
+        nw.substsz = subst.shape[0]
+        nw.seqY, nw.seqX = y, x
+        nw.adjrows, nw.adjcols = len(y), len(x)
+        nw.gapo_cost = args.gapoCost
+        nw.gape_cost = args.gapeCost
+        nw.spec = spec
+        inputs.append(nw)
+    cells = sum((len(y) - 1) * (len(x) - 1) for y, x in pairs)
+    params = AlgParams({})
+
+    def run():
+        results = [AlgResult() for _ in inputs]
+        stats = align_giant2_stream(params, inputs, results, mesh=mesh,
+                                    interpret=interpret)
+        bad = [s for s in stats if s != Status.success]
+        if bad:
+            raise RuntimeError(f"stream statuses: {stats}")
+        return results
+
+    results = run()  # warmup/compile
+    ts = []
+    for _ in range(args.repeat):
+        t0 = time.perf_counter()
+        results = run()
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
+
+    n_bad = 0
+    if args.verify:
+        idxs = np.linspace(0, len(pairs) - 1, min(args.verify, len(pairs)))
+        for i in sorted({int(v) for v in idxs}):
+            y, x = pairs[i]
+            mats = oracle_align_dense(
+                spec, subst, y, x, args.gapoCost, args.gapeCost
+            )
+            want = align_cost_of(spec, mats)
+            if results[i].align_cost != want:
+                n_bad += 1
+                print(
+                    f"MISMATCH pair {i}: {results[i].align_cost} vs "
+                    f"oracle {want}",
+                    file=sys.stderr,
+                )
+    print(
+        f"{args.algKind} (giant stream, D={args.devices or 1}): "
+        f"{len(pairs)} pairs in {t * 1e3:.1f} ms -> "
+        f"{len(pairs) / t:.1f} pairs/s, {cells / t / 1e9:.2f} GCUPS agg"
+        + (f", {n_bad} verify mismatches" if n_bad else ", verify ok")
+    )
+    return 1 if n_bad else 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import argparse
 
@@ -109,6 +179,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "align all-vs-first pairs in chunks of CHUNK — "
                          "O(chunk) host memory for corpora larger than "
                          "RAM; incompatible with --seqPairPath")
+    ap.add_argument("--giantStream", action="store_true",
+                    help="route the pair list through ONE pipelined "
+                         "giant-pair fill (align_giant2_stream) on a "
+                         "--devices sequence-parallel mesh instead of "
+                         "the batch engine — for streams of pairs too "
+                         "large to batch")
     ap.add_argument("--synthPairs", default="", metavar="N,LMIN,LMAX",
                     help="benchmark N seeded random pairs with lengths "
                          "uniform in [LMIN, LMAX] instead of a pair "
@@ -159,6 +235,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
             pairs.append((y, x))
     cells = sum((len(y) - 1) * (len(x) - 1) for y, x in pairs)
+
+    if args.giantStream:
+        return _run_giant_stream(args, spec, subst, pairs)
 
     mesh = make_mesh(args.devices) if args.devices else None
 

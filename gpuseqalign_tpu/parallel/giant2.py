@@ -60,7 +60,7 @@ from ..ops.pallas_wavefront2 import _cdiv, _pack_planes
 _WRAP_TPU_VALIDATED = False
 
 
-def pick_kb(n_blocks: int, K: int, D: int, *, R: int, W: int, TW: int,
+def pick_kb(n_blocks, K: int, D: int, *, R: int, W: int, TW: int,
             band_cols: int, kb_max: int = 8) -> int:
     """Echelon groups per pass (pass height = KB*K*R rows), by the analytic
     efficiency model: per-device utilization is
@@ -70,16 +70,23 @@ def pick_kb(n_blocks: int, K: int, D: int, *, R: int, W: int, TW: int,
     KB > 1 runs the wrap (continuous) echelon inside banded_pass, paying
     the in-kernel drain once per PASS instead of once per K-block group —
     a win when passes are plentiful (n_pass >> D), a loss when the bigger
-    pass height starves the cross-device pipeline."""
-    if n_blocks <= K or not wrap_ok(R=R, W=W, K=K, band_cols=band_cols):
+    pass height starves the cross-device pipeline.
+
+    n_blocks: per-pair row-block count — an int, or a sequence for a
+    pipelined stream of pairs (align_giant2_stream), where the pipeline
+    bubble is paid once over sum(n_pass_i) but padding accrues per pair.
+    """
+    nbs = [n_blocks] if isinstance(n_blocks, int) else list(n_blocks)
+    if max(nbs) <= K or not wrap_ok(R=R, W=W, K=K, band_cols=band_cols):
         return 1
     NSpad = _cdiv(R + band_cols - 1 + 128, W) * W
     SPB = NSpad // W
     drain = (K - 1) * (W * _cdiv(R + 256, W)) // W
+    nb_tot = sum(nbs)
     best_kb, best_eff = 1, 0.0
     for kb in range(1, kb_max + 1):
-        n2 = _cdiv(n_blocks, K * kb)
-        pad = (n2 * K * kb) / n_blocks
+        n2 = sum(_cdiv(nb, K * kb) for nb in nbs)
+        pad = (n2 * K * kb) / nb_tot
         eff = (n2 / (n2 + D - 1)) * (kb * SPB) / (kb * SPB + drain) / pad
         if eff > best_eff + 1e-9:
             best_kb, best_eff = kb, eff
@@ -96,12 +103,24 @@ def pick_kb(n_blocks: int, K: int, D: int, *, R: int, W: int, TW: int,
 def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
                 axis: str = "sp", R: int, W: int, TW: int, K: int,
                 band_cols: int, n_pass: int, kind: str = "nw",
-                gap: str = "linear", interpret: bool = False, KB: int = 1):
-    """Distributed sparse fill, any spec.
+                gap: str = "linear", interpret: bool = False, KB: int = 1,
+                pass2pair=None, pass2local=None):
+    """Distributed sparse fill, any spec — one pair or a PIPELINED STREAM
+    of pairs (align_giant2_stream): the scan runs sum(n_pass_i) + D - 1
+    steps total, so the cross-device fill/drain bubble (D - 1 steps) is
+    paid once per stream instead of once per pair.
 
-    y: (1 + n_pass*KB*K*R,) with header element, replicated.
-    x_nohdr: (D * band_cols,) letters without header (sharded into bands).
-    adjr/adjc: true dims incl. header (traced; SW masking).
+    y: (1 + n_pass*KB*K*R,) with header element, replicated — for a
+       stream, the pairs' padded row letters concatenated pass-major
+       behind one shared header element.
+    x_nohdr: (n_pairs, D * band_cols) letters without header (each pair's
+       row padded to cols_p; sharded into bands along axis 1).
+    adjr/adjc: (n_pairs,) true dims incl. header (traced; SW masking).
+    pass2pair/pass2local: (n_pass,) int32 — global pass -> (pair index,
+       pair-local pass). None = single pair (zeros / arange). A pass's
+       carries (predecessor H/F rows) reset to the analytic header row at
+       pass2local == 0; the ICI halo protocol is pair-agnostic because a
+       global pass belongs to one pair on every device.
     KB: echelon groups per pass (see pick_kb) — each scan step fills
     BL = KB*K row blocks per band via banded_pass's wrap echelon.
 
@@ -111,7 +130,9 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
       frows/ecols (affine):     F rows / E cols, same shapes
       bv/bc (SW):               (B, D, R) per-lane best value / local step
     (B = n_pass*KB*K; jtE = band_cols // TW; hcols[..., jl, :] holds column
-    c0 + jl*TW; jl = jtE is the band's right edge.)
+    c0 + jl*TW; jl = jtE is the band's right edge. For a stream, block
+    index b belongs to pair pass2pair[b // BL], local block
+    pass2local[b // BL] * BL + b % BL.)
     """
     D = mesh.devices.size
     SUB = R // 128
@@ -126,17 +147,29 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
     is_sw = kind == "sw"
     ninf = jnp.int32(NEG_INF_I32)
 
+    if pass2pair is None:
+        pass2pair = jnp.zeros(n_pass, jnp.int32)
+    if pass2local is None:
+        pass2local = jnp.arange(n_pass, dtype=jnp.int32)
+    if x_nohdr.ndim == 1:
+        x_nohdr = x_nohdr.reshape(1, -1)
+    adjr = jnp.asarray(adjr, jnp.int32).reshape(-1)
+    adjc = jnp.asarray(adjc, jnp.int32).reshape(-1)
+    n_pairs = x_nohdr.shape[0]
+
     planes = _pack_planes(subst, y, B, R)  # (B, 8, SUB, 128), replicated
 
-    def device_fn(subst_planes, xb, gsc, gesc, adjr, adjc):
+    def device_fn(subst_planes, xb, gsc, gesc, adjr, adjc, p2p, p2l):
         k = lax.axis_index(axis)
         g, ge = gsc, gesc
         c0 = k * band_cols
-        xb = xb[0]  # (band_cols,)
-        xpad = jnp.zeros(NSpad, jnp.int32).at[:band_cols].set(xb)
-        xwin = xpad.reshape(NSpad // W, W // 128, 128)
+        # xb: (n_pairs, band_cols) — this band's letters per pair.
+        xpad = jnp.zeros((n_pairs, NSpad), jnp.int32)
+        xpad = xpad.at[:, :band_cols].set(xb)
+        xwin_all = xpad.reshape(n_pairs, NSpad // W, W // 128, 128)
 
-        # H[0, c0 + j]: the spec's header row at this band's columns.
+        # H[0, c0 + j]: the spec's header row at this band's columns
+        # (pair-independent: same spec/costs across a stream).
         jj = c0 + jnp.arange(prev_len, dtype=jnp.int32)
         if is_sw:
             prev0 = jnp.zeros(prev_len, jnp.int32)
@@ -156,7 +189,15 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
             p = t - k
             active = (p >= 0) & (p < n_pass)
             pc = jnp.clip(p, 0, n_pass - 1)
-            row0 = pc * BL * R
+            pid = p2p[pc]
+            pl = p2l[pc]
+            row0 = pl * BL * R
+            # A new pair's first pass starts from the analytic header row,
+            # not the previous pair's carry.
+            prev_in = jnp.where(pl == 0, prev0, prev_row)
+            prevF_in = None
+            if affine:
+                prevF_in = jnp.where(pl == 0, prevF0, prevF_row)
             # Device 0's left border is the true DP header column.
             ii = row0 + jnp.arange(BL * R + 1, dtype=jnp.int32)
             if is_sw:
@@ -178,13 +219,17 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
             planes_p = lax.dynamic_slice(
                 subst_planes, (pc * BL, 0, 0, 0), (BL, 8, SUB, 128)
             )
+            xwin = lax.dynamic_slice(
+                xwin_all, (pid, 0, 0, 0),
+                (1, NSpad // W, W // 128, 128),
+            )[0]
             out = banded_pass(
-                planes_p, xwin, g, ge, prev_row, prevF_row, haloH, haloE,
-                adjr - row0, adjc - c0,
+                planes_p, xwin, g, ge, prev_in, prevF_in, haloH, haloE,
+                adjr[pid] - row0, adjc[pid] - c0,
                 R=R, W=W, TW=TW, K=K, band_cols=band_cols, kind=kind,
                 gap=gap, interpret=interpret, B=BL,
             )
-            edge_top = prev_row[band_cols]
+            edge_top = prev_in[band_cols]
             rightH = out["hcol"][:, jtE].reshape(BL * R)
             parts = [edge_top[None], rightH]
             if affine:
@@ -234,13 +279,14 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
     fn = shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(P(), P(None, axis), P(), P(), P(), P()),
+        in_specs=(P(), P(None, axis), P(), P(), P(), P(), P(), P()),
         out_specs=out_spec,
         check_vma=False,
     )
     out = fn(
-        planes, x_nohdr.reshape(1, -1), g, ge,
-        jnp.asarray(adjr, jnp.int32), jnp.asarray(adjc, jnp.int32),
+        planes, x_nohdr, g, ge, adjr, adjc,
+        jnp.asarray(pass2pair, jnp.int32),
+        jnp.asarray(pass2local, jnp.int32),
     )
     if jax.process_count() > 1:
         # Multi-host: replicate the gathered streams (an all-gather over
@@ -251,6 +297,26 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
         out = {kk: jax.lax.with_sharding_constraint(v, rep)
                for kk, v in out.items()}
     return out
+
+
+def _tile_params(pr: AlgParams, spec) -> "tuple[int, int, int]":
+    """(R, TW, K) for the banded engine: explicit params beat the
+    per-device autotune cache (TPU only) beat the 128/128/2 fallback."""
+    r_def, tw_def, k_def = 128, 128, 2
+    try:
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas_wavefront2 import tuned_defaults
+
+            tuned = tuned_defaults(spec.kind.value, spec.gap.value)
+            r_def = int(tuned.get("tileBy", r_def))
+            tw_def = int(tuned.get("tileBx", tw_def))
+            k_def = int(tuned.get("kChains", k_def))
+    except Exception:
+        pass
+    R = int(pr.get("tileBy", 0) or r_def)
+    TW = int(pr.get("tileBx", 0) or tw_def)
+    K = int(pr.get("kChains", 0) or k_def)
+    return R, TW, K
 
 
 def align_giant2(
@@ -264,7 +330,6 @@ def align_giant2(
     runs the distributed fill, and massages outputs into the reference
     sparse layout (plus the affine F/E header mats and the SW argmax) so
     sparse traceback/hash/align_cost run unchanged."""
-    from ..ops.pallas_kernels import _mlsp_store
     from .mesh import make_mesh
 
     spec = nw.spec
@@ -280,20 +345,7 @@ def align_giant2(
     sw.start()
     rows = nw.adjrows - 1
     cols = nw.adjcols - 1
-    r_def, tw_def, k_def = 128, 128, 2
-    try:
-        if jax.default_backend() == "tpu":
-            from ..ops.pallas_wavefront2 import tuned_defaults
-
-            tuned = tuned_defaults(spec.kind.value, spec.gap.value)
-            r_def = int(tuned.get("tileBy", r_def))
-            tw_def = int(tuned.get("tileBx", tw_def))
-            k_def = int(tuned.get("kChains", k_def))
-    except Exception:
-        pass
-    R = int(pr.get("tileBy", 0) or r_def)
-    TW = int(pr.get("tileBx", 0) or tw_def)
-    K = int(pr.get("kChains", 0) or k_def)
+    R, TW, K = _tile_params(pr, spec)
     band_cols = _cdiv(max(cols, 1), D * TW) * TW
     cols_p = band_cols * D
     n_blocks = _cdiv(max(rows, 1), R)
@@ -372,6 +424,29 @@ def align_giant2(
         K=K, SUB=SUBv, affine=affine, is_sw=is_sw,
     ))
 
+    stat = _gathered_to_sparse(
+        nw, res, out, D=D, R=R, TW=TW, BL=BL, n_pass=n_pass,
+        band_cols=band_cols,
+    )
+    return stat
+
+
+def _gathered_to_sparse(nw: AlgInput, res: AlgResult, out: dict, *, D: int,
+                        R: int, TW: int, BL: int, n_pass: int,
+                        band_cols: int) -> Status:
+    """Massage one pair's gathered per-band streams (hrows/hcols [+ frows/
+    ecols/bv/bc], block index LOCAL to the pair) into the reference sparse
+    layout and store via _mlsp_store. Shared by the single-pair engine and
+    the multi-pair stream (align_giant2_stream slices its gathered arrays
+    per pair before calling)."""
+    from ..ops.pallas_kernels import _mlsp_store
+
+    spec = nw.spec
+    affine = spec.gap == GapKind.AFFINE
+    is_sw = spec.kind == AlignKind.SW
+    cols_p = band_cols * D
+    rows_p = n_pass * BL * R
+    jtE = band_cols // TW
     B = n_pass * BL
     g = nw.gapo_cost
     ge = nw.gape_cost
@@ -460,6 +535,150 @@ def align_giant2(
         frows=frows, ecols=ecols, best=best,
     )
     return stat
+
+
+def align_giant2_stream(
+    pr: AlgParams,
+    inputs: "list[AlgInput]",
+    results: "list[AlgResult]",
+    mesh: Optional[Mesh] = None,
+    interpret: bool = False,
+) -> "list[Status]":
+    """Align a STREAM of giant pairs through ONE pipelined distributed
+    fill: the scan runs sum(n_pass_i) + D - 1 steps total, so the
+    cross-device fill/drain bubble (D - 1 steps) is paid once per stream
+    instead of once per pair — at D=8 and a pair with n_pass=4, the
+    per-pair bubble bound is 4/11 = 36% utilization; a 16-pair stream of
+    the same pairs runs at 64/71 = 90%.
+
+    All pairs must share spec, costs, and substitution matrix (the
+    per-pass carry reset keys only on pair-LOCAL pass index; costs are
+    scan-invariant). Returns one Status per pair; each pair's AlgResult
+    gets the standard sparse layout so trace/hash verify per pair.
+    Stopwatch laps are the shared phases' wall time attributed to each
+    pair proportional to its cell count (sum over the stream ~= the
+    stream's wall time, so aggregate GCUPS stays honest).
+    """
+    import time as _time
+
+    from .mesh import make_mesh
+
+    n = len(inputs)
+    if n == 0:
+        return []
+    spec = inputs[0].spec
+    gapo, gape = inputs[0].gapo_cost, inputs[0].gape_cost
+    affine = spec.gap == GapKind.AFFINE
+    uniform = all(
+        nw.spec == spec and nw.gapo_cost == gapo and nw.gape_cost == gape
+        and np.array_equal(nw.subst, inputs[0].subst)
+        for nw in inputs[1:]
+    )
+    if not uniform or (affine and (gapo > 0 or gape > 0)):
+        return [Status.errorInvalidValue] * n
+    if mesh is None:
+        mesh = make_mesh(axis_name="sp")
+    D = int(mesh.devices.size)
+
+    cells = np.array(
+        [(nw.adjrows - 1) * (nw.adjcols - 1) for nw in inputs], np.float64
+    )
+    share = cells / max(float(cells.sum()), 1.0)
+    t_ref = _time.perf_counter()
+
+    def lap_all(name: str) -> None:
+        nonlocal t_ref
+        now = _time.perf_counter()
+        dt_ms = (now - t_ref) * 1000.0
+        for res_i, sh in zip(results, share):
+            res_i.sw_align.add_ms(name, dt_ms * float(sh))
+        t_ref = now
+
+    R, TW, K = _tile_params(pr, spec)
+    W = min(512, TW)
+    rows_l = [nw.adjrows - 1 for nw in inputs]
+    cols_l = [nw.adjcols - 1 for nw in inputs]
+    band_cols = _cdiv(max(max(cols_l), 1), D * TW) * TW
+    cols_p = band_cols * D
+    nb_l = [_cdiv(max(r, 1), R) for r in rows_l]
+    KB = int(pr.get("passBlocks", 0) or 0)
+    if KB > 1 and not wrap_ok(R=R, W=W, K=K, band_cols=band_cols):
+        return [Status.errorInvalidValue] * n
+    if not KB:
+        if interpret or _WRAP_TPU_VALIDATED or \
+                jax.default_backend() != "tpu":
+            KB = pick_kb(nb_l, K, D, R=R, W=W, TW=TW, band_cols=band_cols)
+        else:
+            KB = 1
+    BL = KB * K
+    np_l = [_cdiv(nb, BL) for nb in nb_l]
+    starts = np.concatenate(([0], np.cumsum(np_l))).astype(np.int64)
+    total_pass = int(starts[-1])
+    rows_tot = total_pass * BL * R
+
+    y = np.zeros(1 + rows_tot, np.int32)
+    x = np.zeros((n, cols_p), np.int32)
+    p2p = np.zeros(total_pass, np.int32)
+    p2l = np.zeros(total_pass, np.int32)
+    for i, nw in enumerate(inputs):
+        off = int(starts[i]) * BL * R
+        y[1 + off: 1 + off + rows_l[i]] = nw.seqY[1: nw.adjrows]
+        x[i, : cols_l[i]] = nw.seqX[1: nw.adjcols]
+        p2p[starts[i]: starts[i + 1]] = i
+        p2l[starts[i]: starts[i + 1]] = np.arange(np_l[i])
+    adjr = np.array([nw.adjrows for nw in inputs], np.int32)
+    adjc = np.array([nw.adjcols for nw in inputs], np.int32)
+    lap_all("align.alloc")
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        def put(a):
+            return multihost_utils.host_local_array_to_global_array(
+                a, mesh, P()
+            )
+    else:
+        put = jax.device_put
+    subst_d = put(np.asarray(inputs[0].subst))
+    y_d = put(y)
+    x_d = put(x)
+    jax.block_until_ready((subst_d, y_d, x_d))
+    lap_all("align.cpy_dev")
+
+    out_d = giant2_fill(
+        subst_d, y_d, x_d, jnp.int32(gapo), jnp.int32(gape), adjr, adjc,
+        mesh=mesh, R=R, W=W, TW=TW, K=K,
+        band_cols=band_cols, n_pass=total_pass, KB=KB,
+        kind=spec.kind.value, gap=spec.gap.value, interpret=interpret,
+        pass2pair=p2p, pass2local=p2l,
+    )
+    jax.block_until_ready(out_d)
+    lap_all("align.calc")
+
+    out = {kk: np.asarray(jax.device_get(v)) for kk, v in out_d.items()}
+    lap_all("align.cpy_host")
+
+    from ..ops.pallas_wavefront2 import v2_regmem_bytes, v2_vmem_bytes
+
+    SUBv = R // 128
+    NSpadv = _cdiv(R + band_cols - 1 + 128, W) * W
+    vmem = v2_vmem_bytes(K=K, SUB=SUBv, prev_len=NSpadv + 128, W=W,
+                         affine=affine, is_sw=spec.kind == AlignKind.SW)
+    regmem = v2_regmem_bytes(K=K, SUB=SUBv, affine=affine,
+                             is_sw=spec.kind == AlignKind.SW)
+
+    stats = []
+    for i, (nw, res) in enumerate(zip(inputs, results)):
+        s, e = int(starts[i]) * BL, int(starts[i + 1]) * BL
+        out_i = {kk: v[s:e] for kk, v in out.items()}
+        nw.note_device_alloc(sum(int(v.nbytes) for v in out_i.values()))
+        res.shmem_peak_allocs = max(res.shmem_peak_allocs, vmem)
+        res.regmem_peak_allocs = max(res.regmem_peak_allocs, regmem)
+        stats.append(_gathered_to_sparse(
+            nw, res, out_i, D=D, R=R, TW=TW, BL=BL, n_pass=np_l[i],
+            band_cols=band_cols,
+        ))
+    return stats
 
 
 def align_giant2_nw_lg(

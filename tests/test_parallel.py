@@ -239,3 +239,129 @@ class TestGiant2:
         # Same shape, D=8: pipeline bubble tempers KB.
         kb8 = pick_kb(64, 4, 8, R=2048, W=512, TW=2048, band_cols=8192)
         assert kb8 <= kb
+        # Stream form: many small pairs give the same pipeline total but
+        # per-pair padding, so KB is capped by the pair height (any KB
+        # whose pass exceeds one pair's blocks only adds padding).
+        kb_s = pick_kb([8] * 64, 4, 8, R=2048, W=512, TW=2048,
+                       band_cols=8192)
+        assert kb_s <= 2
+        # Single-int and 1-element-list forms agree.
+        assert kb8 == pick_kb([64], 4, 8, R=2048, W=512, TW=2048,
+                              band_cols=8192)
+
+
+class TestGiant2Stream:
+    def _mk_input(self, blosum62, spec, y, x, gapo=-11, gape=-2):
+        nw = AlgInput()
+        nw.subst = blosum62
+        nw.substsz = blosum62.shape[0]
+        nw.seqY, nw.seqX = y, x
+        nw.adjrows, nw.adjcols = len(y), len(x)
+        nw.gapo_cost = gapo
+        nw.gape_cost = gape
+        nw.spec = spec
+        return nw
+
+    def _check_pair(self, blosum62, spec, nw, res, stat):
+        assert stat == Status.success
+        mats = oracle_align_dense(
+            spec, blosum62, nw.seqY, nw.seqX, nw.gapo_cost, nw.gape_cost
+        )
+        assert res.align_cost == align_cost_of(spec, mats)
+        assert trace_sparse(nw, res, False) == Status.success
+        transcript, thash, _ = oracle_trace_dense(
+            spec, mats, blosum62, nw.seqY, nw.seqX,
+            nw.gapo_cost, nw.gape_cost,
+        )
+        assert res.edit_trace == transcript
+        assert res.trace_hash == thash
+        assert hash_sparse(nw, res) == Status.success
+        assert res.score_hash == oracle_hash_dense(mats["H"])
+
+    @pytest.mark.parametrize("spec_name", SPECS)
+    def test_stream_matches_oracle(self, rng, blosum62, spec_name):
+        """Three unequal pairs through ONE pipelined fill on a 2-device
+        mesh: per-pair pass counts 2/1/3 exercise the carry reset at
+        pair-local pass 0, the per-pair column windows (middle pair is
+        narrower than band_cols), and the per-pair SW argmax slicing."""
+        from gpuseqalign_tpu.parallel.giant2 import align_giant2_stream
+
+        mesh = make_mesh(2, axis_name="sp")
+        spec = AlignSpec.from_name(spec_name)
+        sizes = [(300, 500), (90, 150), (600, 400)]
+        inputs = [
+            self._mk_input(blosum62, spec, random_seq(rng, m),
+                           random_seq(rng, n))
+            for m, n in sizes
+        ]
+        results = [AlgResult() for _ in inputs]
+        stats = align_giant2_stream(
+            AlgParams({"tileBy": [128], "tileBx": [128], "kChains": [2]}),
+            inputs, results, mesh=mesh, interpret=True,
+        )
+        for nw, res, stat in zip(inputs, results, stats):
+            self._check_pair(blosum62, spec, nw, res, stat)
+
+    def test_stream_wrap_kb2(self, rng, blosum62):
+        """Stream + wrap echelon (explicit passBlocks=2): the in-kernel
+        multi-group pass and the pair-boundary carry reset compose."""
+        from gpuseqalign_tpu.parallel.giant2 import align_giant2_stream
+
+        mesh = make_mesh(2, axis_name="sp")
+        spec = AlignSpec.from_name("nw_ag")
+        inputs = [
+            self._mk_input(blosum62, spec, random_seq(rng, 700),
+                           random_seq(rng, 1100)),
+            self._mk_input(blosum62, spec, random_seq(rng, 350),
+                           random_seq(rng, 900)),
+        ]
+        results = [AlgResult() for _ in inputs]
+        stats = align_giant2_stream(
+            AlgParams({"tileBy": [128], "tileBx": [128], "kChains": [2],
+                       "passBlocks": [2]}),
+            inputs, results, mesh=mesh, interpret=True,
+        )
+        for nw, res, stat in zip(inputs, results, stats):
+            self._check_pair(blosum62, spec, nw, res, stat)
+
+    def test_stream_singleton_matches_single(self, rng, blosum62):
+        """A 1-pair stream is the single-pair engine (same layout, same
+        sparse bytes)."""
+        from gpuseqalign_tpu.parallel.giant2 import (
+            align_giant2,
+            align_giant2_stream,
+        )
+
+        mesh = make_mesh(2, axis_name="sp")
+        spec = AlignSpec.from_name("sw_lg")
+        y, x = random_seq(rng, 300), random_seq(rng, 500)
+        params = AlgParams(
+            {"tileBy": [128], "tileBx": [128], "kChains": [2]}
+        )
+        nw1 = self._mk_input(blosum62, spec, y, x)
+        res1 = AlgResult()
+        assert align_giant2(params, nw1, res1, mesh=mesh,
+                            interpret=True) == Status.success
+        nw2 = self._mk_input(blosum62, spec, y, x)
+        res2 = AlgResult()
+        (stat,) = align_giant2_stream(params, [nw2], [res2], mesh=mesh,
+                                      interpret=True)
+        assert stat == Status.success
+        assert res1.align_cost == res2.align_cost
+        np.testing.assert_array_equal(nw1.tileHrowMat, nw2.tileHrowMat)
+        np.testing.assert_array_equal(nw1.tileHcolMat, nw2.tileHcolMat)
+
+    def test_stream_mixed_costs_rejected(self, rng, blosum62):
+        from gpuseqalign_tpu.parallel.giant2 import align_giant2_stream
+
+        mesh = make_mesh(2, axis_name="sp")
+        spec = AlignSpec.from_name("nw_lg")
+        a = self._mk_input(blosum62, spec, random_seq(rng, 60),
+                           random_seq(rng, 60), gapo=-11)
+        b = self._mk_input(blosum62, spec, random_seq(rng, 60),
+                           random_seq(rng, 60), gapo=-4)
+        stats = align_giant2_stream(
+            AlgParams({}), [a, b], [AlgResult(), AlgResult()],
+            mesh=mesh, interpret=True,
+        )
+        assert stats == [Status.errorInvalidValue] * 2
