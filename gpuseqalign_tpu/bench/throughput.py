@@ -79,16 +79,20 @@ def _run_streaming(args, spec, subst, letter_map) -> int:
     return 1 if n_bad else 0
 
 
-def _run_giant_stream(args, spec, subst, pairs) -> int:
+def _run_giant_stream(args, spec, subst, pairs, sequential=False) -> int:
     """Giant-pair STREAM throughput: the whole pair list through ONE
     pipelined distributed fill (parallel/giant2.align_giant2_stream) on a
     sequence-parallel mesh — the cross-device fill/drain bubble and the
-    per-call dispatch overhead are paid once per stream, not per pair."""
+    per-call dispatch overhead are paid once per stream, not per pair.
+
+    sequential=True is the A/B baseline: one align_giant2 call per pair
+    (same engine, same mesh), paying the bubble and dispatch per pair.
+    """
     import jax
 
     from ..core.types import AlgInput, AlgParams, AlgResult, Status
     from ..models.oracle import align_cost_of, oracle_align_dense
-    from ..parallel import align_giant2_stream
+    from ..parallel import align_giant2, align_giant2_stream
     from ..parallel.mesh import make_mesh as mk
 
     mesh = mk(args.devices or 1, axis_name="sp")
@@ -109,8 +113,15 @@ def _run_giant_stream(args, spec, subst, pairs) -> int:
 
     def run():
         results = [AlgResult() for _ in inputs]
-        stats = align_giant2_stream(params, inputs, results, mesh=mesh,
-                                    interpret=interpret)
+        if sequential:
+            stats = [
+                align_giant2(params, nw, res, mesh=mesh,
+                             interpret=interpret)
+                for nw, res in zip(inputs, results)
+            ]
+        else:
+            stats = align_giant2_stream(params, inputs, results, mesh=mesh,
+                                        interpret=interpret)
         bad = [s for s in stats if s != Status.success]
         if bad:
             raise RuntimeError(f"stream statuses: {stats}")
@@ -140,8 +151,9 @@ def _run_giant_stream(args, spec, subst, pairs) -> int:
                     f"oracle {want}",
                     file=sys.stderr,
                 )
+    mode = "giant sequential" if sequential else "giant stream"
     print(
-        f"{args.algKind} (giant stream, D={args.devices or 1}): "
+        f"{args.algKind} ({mode}, D={args.devices or 1}): "
         f"{len(pairs)} pairs in {t * 1e3:.1f} ms -> "
         f"{len(pairs) / t:.1f} pairs/s, {cells / t / 1e9:.2f} GCUPS agg"
         + (f", {n_bad} verify mismatches" if n_bad else ", verify ok")
@@ -185,6 +197,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "--devices sequence-parallel mesh instead of "
                          "the batch engine — for streams of pairs too "
                          "large to batch")
+    ap.add_argument("--giantSequential", action="store_true",
+                    help="A/B baseline for --giantStream: one "
+                         "align_giant2 call per pair (same engine/mesh), "
+                         "paying the pipeline bubble and dispatch "
+                         "overhead per pair")
     ap.add_argument("--synthPairs", default="", metavar="N,LMIN,LMAX",
                     help="benchmark N seeded random pairs with lengths "
                          "uniform in [LMIN, LMAX] instead of a pair "
@@ -236,8 +253,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             pairs.append((y, x))
     cells = sum((len(y) - 1) * (len(x) - 1) for y, x in pairs)
 
-    if args.giantStream:
-        return _run_giant_stream(args, spec, subst, pairs)
+    if args.giantStream or args.giantSequential:
+        return _run_giant_stream(args, spec, subst, pairs,
+                                 sequential=args.giantSequential)
 
     mesh = make_mesh(args.devices) if args.devices else None
 

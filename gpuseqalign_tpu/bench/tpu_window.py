@@ -1,0 +1,197 @@
+"""TPU-window harvester: run every chip-gated task the moment the axon
+tunnel is reachable.
+
+The tunnel to the one real TPU chip goes down for hours at a time
+(CLAUDE.md / ROADMAP.md "Queued for the next TPU window"), so chip-gated
+work accumulates. This orchestrator turns any window into results
+without a human in the loop:
+
+  probe the tunnel in a subprocess with a hard timeout (a wedged claim
+  hangs jax.default_backend() indefinitely), optionally polling until it
+  comes up (--waitHours), then run the queued steps in order, each as a
+  fresh subprocess with its own timeout, logging to
+  logs/tpu_window_<ts>/<step>.log and a machine-readable summary.json.
+
+Steps (the ROADMAP queue; subset with --steps):
+
+  validate_wrap  on-chip differential drive of the wrap-banded giant
+                 engine (bench/validate_wrap_tpu.py) — persists the
+                 `wrap_tpu_validated` tuned-cache flag on success;
+                 skipped automatically once the flag is set
+  vpu_subk       register-spill ablation: skeleton GCUPS vs carry height
+  vpu_ablate     fullstep K=7 carry ablations (noacc/noprow/noxcarry/
+                 mincarry) — which carry must shrink for one more chain
+  bench          fresh bench.py headline (writes the one-line JSON)
+  scaling        bench/scaling_report.py --quick
+  stream_ab      giant-pair stream vs sequential A/B at D=1 (~8 medium
+                 synthetic pairs; the ~26 ms/dispatch tunnel overhead is
+                 paid once per stream vs once per pair)
+
+The tunnel is re-probed between steps; if it drops mid-window the run
+records how far it got and exits 2 so a cron/loop wrapper can retry.
+
+Usage:
+    python -m gpuseqalign_tpu.bench.tpu_window [--waitHours H]
+        [--steps a,b,...] [--stepTimeout SECONDS] [--probeTimeout S]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from typing import List, Optional
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def tpu_reachable(timeout_s: int = 180) -> bool:
+    """Probe the default backend in a subprocess with a hard timeout."""
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('BK:' + jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return p.returncode == 0 and "BK:tpu" in p.stdout
+
+
+def _wrap_already_validated() -> bool:
+    try:
+        from ..ops.pallas_wavefront2 import tuned_flag
+
+        return tuned_flag("wrap_tpu_validated")
+    except Exception:
+        return False
+
+
+def _step_cmds() -> "dict[str, list[str]]":
+    py = sys.executable
+    mod = lambda m, *a: [py, "-m", m, *a]  # noqa: E731
+    return {
+        "validate_wrap": mod("gpuseqalign_tpu.bench.validate_wrap_tpu"),
+        "vpu_subk": mod("gpuseqalign_tpu.bench.vpu_probe", "subk"),
+        "vpu_ablate": mod("gpuseqalign_tpu.bench.vpu_probe", "fullstep",
+                          "7", "noacc,noprow,noxcarry,mincarry"),
+        "bench": [py, os.path.join(REPO, "bench.py")],
+        "scaling": mod("gpuseqalign_tpu.bench.scaling_report", "--quick"),
+        "stream_ab_seq": mod(
+            "gpuseqalign_tpu.bench.throughput", "--seqPath", "synth",
+            "--synthPairs", "8,12000,20000", "--giantSequential",
+            "--verify", "2", "--repeat", "2"),
+        "stream_ab_stream": mod(
+            "gpuseqalign_tpu.bench.throughput", "--seqPath", "synth",
+            "--synthPairs", "8,12000,20000", "--giantStream",
+            "--verify", "2", "--repeat", "2"),
+    }
+
+
+DEFAULT_STEPS = ("validate_wrap", "vpu_subk", "vpu_ablate", "bench",
+                 "scaling", "stream_ab_seq", "stream_ab_stream")
+
+
+def run_window(steps: List[str], log_dir: str, step_timeout: int,
+               probe_timeout: int) -> dict:
+    """Run the queued steps; returns the summary dict (also written to
+    <log_dir>/summary.json incrementally, so a killed run keeps data)."""
+    os.makedirs(log_dir, exist_ok=True)
+    cmds = _step_cmds()
+    summary: dict = {"log_dir": log_dir, "steps": []}
+
+    def flush():
+        with open(os.path.join(log_dir, "summary.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(summary, f, indent=2)
+            f.write("\n")
+
+    for name in steps:
+        if name == "validate_wrap" and _wrap_already_validated():
+            print(f"[tpu_window] {name}: SKIP (flag already set)")
+            summary["steps"].append({"step": name, "skipped": True})
+            flush()
+            continue
+        if not tpu_reachable(probe_timeout):
+            print(f"[tpu_window] tunnel dropped before {name}; stopping",
+                  file=sys.stderr)
+            summary["tunnel_dropped_before"] = name
+            flush()
+            return summary
+        log_path = os.path.join(log_dir, f"{name}.log")
+        t0 = time.time()
+        try:
+            with open(log_path, "w", encoding="utf-8") as lf:
+                p = subprocess.run(
+                    cmds[name], stdout=lf, stderr=subprocess.STDOUT,
+                    cwd=REPO, timeout=step_timeout,
+                )
+            rc: "int | str" = p.returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        dt = time.time() - t0
+        tail = ""
+        try:
+            with open(log_path, "r", encoding="utf-8") as lf:
+                tail = "".join(lf.readlines()[-12:])
+        except OSError:
+            pass
+        print(f"[tpu_window] {name}: rc={rc} in {dt:.0f}s -> {log_path}")
+        summary["steps"].append({
+            "step": name, "rc": rc, "seconds": round(dt, 1),
+            "log": log_path, "tail": tail,
+        })
+        flush()
+    summary["complete"] = True
+    flush()
+    return summary
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--waitHours", type=float, default=0.0,
+                    help="poll the tunnel every 5 min for up to H hours "
+                         "before giving up (0 = one probe only)")
+    ap.add_argument("--steps", default=",".join(DEFAULT_STEPS),
+                    help="comma list from: " + ",".join(DEFAULT_STEPS))
+    ap.add_argument("--stepTimeout", type=int, default=2400)
+    ap.add_argument("--probeTimeout", type=int, default=180)
+    ap.add_argument("--logDir", default="",
+                    help="default logs/tpu_window_<ts>/")
+    args = ap.parse_args(argv)
+
+    steps = [s for s in args.steps.split(",") if s]
+    bad = set(steps) - set(_step_cmds())
+    if bad:
+        ap.error(f"unknown steps: {sorted(bad)}")
+
+    deadline = time.time() + args.waitHours * 3600
+    up = tpu_reachable(args.probeTimeout)
+    while not up and time.time() < deadline:
+        print("[tpu_window] tunnel down; retrying in 5 min", file=sys.stderr)
+        time.sleep(300)
+        up = tpu_reachable(args.probeTimeout)
+    if not up:
+        print("[tpu_window] tunnel unreachable; nothing run",
+              file=sys.stderr)
+        return 3
+
+    ts = time.strftime("%Y%m%d_%H%M%S")
+    log_dir = args.logDir or os.path.join(REPO, "logs", f"tpu_window_{ts}")
+    summary = run_window(steps, log_dir, args.stepTimeout,
+                         args.probeTimeout)
+    done = summary.get("complete", False)
+    print(json.dumps({
+        "complete": done,
+        "steps_run": len(summary["steps"]),
+        "log_dir": log_dir,
+    }))
+    return 0 if done else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -4,7 +4,9 @@ The wrap (continuous) echelon inside banded_pass is bit-exact on the CPU
 mesh in interpret mode, but interpret mode CLAMPS out-of-bounds VMEM
 accesses while real TPUs wrap them into the adjacent buffer (CLAUDE.md),
 so auto-KB stays off on the TPU path until this differential drive has
-passed on the chip (parallel/giant2._WRAP_TPU_VALIDATED).
+passed on the chip. On success the `wrap_tpu_validated` flag is persisted
+in the per-device-kind tuned cache (resrc/tuned/<device_kind>.json) so
+the validation survives process restarts (parallel/giant2._wrap_validated).
 
 Runs align_giant2 with explicit passBlocks on a D=1 mesh (the one real
 chip) for all four specs at sizes that force multiple passes AND a row
@@ -12,7 +14,7 @@ remainder, and asserts align_cost + sparse traceback transcript/hash +
 sparse score hash bit-exact against the dense CPU oracle.
 
 Usage:  python -m gpuseqalign_tpu.bench.validate_wrap_tpu [rows cols]
-On success prints PASS lines and reminds to flip _WRAP_TPU_VALIDATED.
+On success prints PASS lines and writes the tuned-cache flag.
 """
 
 from __future__ import annotations
@@ -95,9 +97,12 @@ def main(argv) -> int:
             failures += 1
 
     if failures == 0:
+        from ..ops.pallas_wavefront2 import set_tuned_flag
+
+        path = set_tuned_flag("wrap_tpu_validated", True)
         print("\nAll four specs bit-exact on hardware with passBlocks=2.")
-        print("Now flip parallel/giant2._WRAP_TPU_VALIDATED to True so "
-              "auto-KB engages the wrap echelon on TPU.")
+        print(f"Persisted wrap_tpu_validated=true in {path}; auto-KB now "
+              "engages the wrap echelon on this device kind.")
         return 0
     return 1
 

@@ -1239,6 +1239,70 @@ K_MAX_DEFAULT = {
 _TUNED_CACHE: "dict | None" = None
 
 
+def tuned_cache_path() -> str:
+    """Path of this device kind's tuned-parameter cache file."""
+    import os
+
+    import jax
+
+    dk = jax.devices()[0].device_kind.lower().replace(" ", "_")
+    return os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "..", "resrc", "tuned",
+        f"{dk}.json",
+    ))
+
+
+def tuned_cache() -> dict:
+    """The raw per-device-kind tuned cache (autotune output + hardware
+    validation flags), loaded once per process. {} when absent."""
+    global _TUNED_CACHE
+    if _TUNED_CACHE is None:
+        _TUNED_CACHE = {}
+        try:
+            import json
+            import os
+
+            path = tuned_cache_path()
+            if os.path.exists(path):
+                with open(path, "r", encoding="utf-8") as f:
+                    _TUNED_CACHE = json.load(f)
+        except Exception:
+            _TUNED_CACHE = {}
+    return _TUNED_CACHE
+
+
+def tuned_flag(key: str, default: bool = False) -> bool:
+    """A hardware-validation flag from the tuned cache's ``_flags`` map.
+
+    Flags record facts established by on-chip differential drives (e.g.
+    ``wrap_tpu_validated``) so they survive process restarts, unlike a
+    source-code constant.
+    """
+    flags = tuned_cache().get("_flags", {})
+    return bool(flags.get(key, default))
+
+
+def set_tuned_flag(key: str, value: bool) -> str:
+    """Persist a hardware-validation flag into the tuned cache file and
+    refresh the in-process copy. Returns the cache path written."""
+    import json
+    import os
+
+    global _TUNED_CACHE
+    path = tuned_cache_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    data = {}
+    if os.path.exists(path):
+        with open(path, "r", encoding="utf-8") as f:
+            data = json.load(f)
+    data.setdefault("_flags", {})[key] = bool(value)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(data, f, indent=2, sort_keys=True)
+        f.write("\n")
+    _TUNED_CACHE = data
+    return path
+
+
 def tuned_defaults(kind: str, gap: str) -> dict:
     """Tuned kernel parameters for this device kind and spec.
 
@@ -1248,27 +1312,8 @@ def tuned_defaults(kind: str, gap: str) -> dict:
     back to the K_MAX_DEFAULT literals when no cache entry exists. Keys:
     tileBy, tileBx, kChains, _gcups.
     """
-    global _TUNED_CACHE
-    if _TUNED_CACHE is None:
-        _TUNED_CACHE = {}
-        try:
-            import json
-            import os
-
-            import jax
-
-            dk = jax.devices()[0].device_kind.lower().replace(" ", "_")
-            path = os.path.join(
-                os.path.dirname(__file__), "..", "..", "resrc", "tuned",
-                f"{dk}.json",
-            )
-            if os.path.exists(path):
-                with open(path, "r", encoding="utf-8") as f:
-                    _TUNED_CACHE = json.load(f)
-        except Exception:
-            _TUNED_CACHE = {}
     name = f"{kind}_{'ag' if gap == 'affine' else 'lg'}"
-    ent = dict(_TUNED_CACHE.get(name, {}))
+    ent = dict(tuned_cache().get(name, {}))
     ent.setdefault("kChains", K_MAX_DEFAULT[(kind, gap)])
     return ent
 

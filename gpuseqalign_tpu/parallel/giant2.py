@@ -55,9 +55,17 @@ from ..core.types import (
 from ..ops.pallas_banded import banded_pass, wrap_ok
 from ..ops.pallas_wavefront2 import _cdiv, _pack_planes
 
-# Wrap-banded (KB > 1) on REAL TPU hardware: set True once the kernel has
-# passed the on-chip differential drive (align_giant2 gates auto-KB on it).
+# Wrap-banded (KB > 1) on REAL TPU hardware: auto-KB engages only after
+# the kernel has passed the on-chip differential drive
+# (bench/validate_wrap_tpu.py), which persists `wrap_tpu_validated` in
+# the per-device-kind tuned cache. The module flag is a test override.
 _WRAP_TPU_VALIDATED = False
+
+
+def _wrap_validated() -> bool:
+    from ..ops.pallas_wavefront2 import tuned_flag
+
+    return _WRAP_TPU_VALIDATED or tuned_flag("wrap_tpu_validated")
 
 
 def pick_kb(n_blocks, K: int, D: int, *, R: int, W: int, TW: int,
@@ -361,7 +369,7 @@ def align_giant2(
         # by the differential drive (interpret mode clamps OOB VMEM
         # accesses; real TPUs wrap them into adjacent buffers — see
         # CLAUDE.md): flip _WRAP_TPU_VALIDATED after that run.
-        if interpret or _WRAP_TPU_VALIDATED or \
+        if interpret or _wrap_validated() or \
                 jax.default_backend() != "tpu":
             KB = pick_kb(n_blocks, K, D, R=R, W=min(512, TW), TW=TW,
                          band_cols=band_cols)
@@ -605,7 +613,7 @@ def align_giant2_stream(
     if KB > 1 and not wrap_ok(R=R, W=W, K=K, band_cols=band_cols):
         return [Status.errorInvalidValue] * n
     if not KB:
-        if interpret or _WRAP_TPU_VALIDATED or \
+        if interpret or _wrap_validated() or \
                 jax.default_backend() != "tpu":
             KB = pick_kb(nb_l, K, D, R=R, W=W, TW=TW, band_cols=band_cols)
         else:
