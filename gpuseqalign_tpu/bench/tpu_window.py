@@ -26,6 +26,8 @@ Steps (the ROADMAP queue; subset with --steps):
   stream_ab      giant-pair stream vs sequential A/B at D=1 (~8 medium
                  synthetic pairs; the ~26 ms/dispatch tunnel overhead is
                  paid once per stream vs once per pair)
+  autotune_*     per-spec kernel-default refresh (autotune
+                 --save-defaults -> resrc/tuned/<device_kind>.json)
 
 The tunnel is re-probed between steps; if it drops mid-window the run
 records how far it got and exits 2 so a cron/loop wrapper can retry.
@@ -87,11 +89,25 @@ def _step_cmds() -> "dict[str, list[str]]":
             "gpuseqalign_tpu.bench.throughput", "--seqPath", "synth",
             "--synthPairs", "8,12000,20000", "--giantStream",
             "--verify", "2", "--repeat", "2"),
+        # Autotune refresh: re-measure the per-spec kernel defaults with
+        # exact in-jit timing and merge them into the tuned cache (the
+        # ROADMAP queue item "autotune refresh if the carry ablations
+        # change the kernel" — also worthwhile after any Mosaic update).
+        **{
+            f"autotune_{s}": mod(
+                "gpuseqalign_tpu.bench.autotune", "--save-defaults",
+                "--seqPath", "resrc/seq_generated.fa",
+                "--pair", "len23728", "len23728", "--algKind", s,
+                "--gapeCost", "-2" if s.endswith("ag") else "0")
+            for s in ("nw_lg", "nw_ag", "sw_lg", "sw_ag")
+        },
     }
 
 
 DEFAULT_STEPS = ("validate_wrap", "vpu_subk", "vpu_ablate", "bench",
-                 "scaling", "stream_ab_seq", "stream_ab_stream")
+                 "scaling", "stream_ab_seq", "stream_ab_stream",
+                 "autotune_nw_lg", "autotune_nw_ag", "autotune_sw_lg",
+                 "autotune_sw_ag")
 
 
 def run_window(steps: List[str], log_dir: str, step_timeout: int,
