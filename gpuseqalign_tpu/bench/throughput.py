@@ -39,17 +39,30 @@ def _run_streaming(args, spec, subst, letter_map) -> int:
     cells = 0
     n_bad = 0
     n_verified = 0
-    t0 = time.perf_counter()
+    # Timed window = the align calls only: the O(n^2) CPU-oracle
+    # verification and the FASTA parse must not deflate the reported
+    # pairs/s (jit compiles per shape bucket still land in the first
+    # chunk of each bucket — inherent to a single-pass stream; noted in
+    # the output line).
+    t = 0.0
+
+    def run_chunk(pairs):
+        nonlocal t
+        t0 = time.perf_counter()
+        out = align_pairs_batched(
+            spec, subst, pairs, args.gapoCost, args.gapeCost,
+            mesh=mesh, quantum=args.quantum,
+        )
+        t += time.perf_counter() - t0
+        return out
+
     for seq in iter_seq_file(args.seqPath, letter_map):
         if first is None:
             first = seq
             continue
         chunk.append((seq.seq, first.seq))
         if len(chunk) >= args.stream:
-            out = align_pairs_batched(
-                spec, subst, chunk, args.gapoCost, args.gapeCost,
-                mesh=mesh, quantum=args.quantum,
-            )
+            out = run_chunk(chunk)
             if args.verify and n_verified < args.verify:
                 y, x = chunk[0]
                 mats = oracle_align_dense(
@@ -63,16 +76,13 @@ def _run_streaming(args, spec, subst, letter_map) -> int:
             cells += sum((len(y) - 1) * (len(x) - 1) for y, x in chunk)
             chunk = []
     if chunk:
-        align_pairs_batched(
-            spec, subst, chunk, args.gapoCost, args.gapeCost,
-            mesh=mesh, quantum=args.quantum,
-        )
+        run_chunk(chunk)
         n_pairs += len(chunk)
         cells += sum((len(y) - 1) * (len(x) - 1) for y, x in chunk)
-    t = time.perf_counter() - t0
     print(
         f"{args.algKind} (streamed, chunk={args.stream}): {n_pairs} pairs "
-        f"in {t * 1e3:.1f} ms -> {n_pairs / t:.1f} pairs/s, "
+        f"in {t * 1e3:.1f} ms align time (incl. per-bucket compiles) -> "
+        f"{n_pairs / t:.1f} pairs/s, "
         f"{cells / t / 1e9:.2f} GCUPS agg"
         + (f", {n_bad} verify mismatches" if n_bad else ", verify ok")
     )

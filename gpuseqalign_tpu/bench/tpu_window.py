@@ -62,13 +62,22 @@ def tpu_reachable(timeout_s: int = 180) -> bool:
     return p.returncode == 0 and "BK:tpu" in p.stdout
 
 
-def _wrap_already_validated() -> bool:
+def _wrap_already_validated(timeout_s: int = 180) -> bool:
+    """Check the tuned-cache flag in a SUBPROCESS: tuned_flag() resolves
+    the cache path via jax.devices(), which initializes the axon backend
+    — in-process that could hang on a wedged tunnel (no timeout) and
+    would hold the single-chip claim for the whole window while the step
+    subprocesses try to claim the same chip."""
+    code = ("from gpuseqalign_tpu.ops.pallas_wavefront2 import tuned_flag;"
+            "print('WV:' + str(tuned_flag('wrap_tpu_validated')))")
     try:
-        from ..ops.pallas_wavefront2 import tuned_flag
-
-        return tuned_flag("wrap_tpu_validated")
-    except Exception:
+        p = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
         return False
+    return p.returncode == 0 and "WV:True" in p.stdout
 
 
 def _step_cmds() -> "dict[str, list[str]]":

@@ -2,12 +2,14 @@
 (ref: src/file_formats.cpp:401-524, column list at :467-520).
 
 Column names and order follow the reference binary so existing downstream
-tooling keeps working; ``cuda_stat`` is retained as the device status
-column (always 0 on the TPU path), ``sm_count`` carries the TPU core
-count, and the five peak-memory columns map to host RAM / HBM / VMEM /
-0 / 0. Three extension columns (no reference analog — the reference is
-NW-linear-only and records no exception text): ``gape_cost`` and
-``align_kind`` after ``gapo_cost``, ``error_msg`` after ``cuda_stat``.
+tooling — including positional parsers — keeps working; ``cuda_stat`` is
+retained as the device status column (always 0 on the TPU path),
+``sm_count`` carries the TPU core count, and the five peak-memory columns
+map to host RAM / HBM / VMEM / 0 / 0. Three extension columns (no
+reference analog — the reference is NW-linear-only and records no
+exception text) are APPENDED after the last reference column so every
+reference column keeps its reference position under any flag set:
+``gape_cost``, ``align_kind``, ``error_msg``.
 """
 
 from __future__ import annotations
@@ -41,11 +43,6 @@ def _fields(res: AlgResult, ctl: TsvPrintCtl):
     yield "seqX_len", str(res.seqX_len)
     yield "subst_name", res.subst_name
     yield "gapo_cost", str(res.gapo_cost)
-    # Extension columns (not in the reference schema — it only supports
-    # NW linear-gap): the affine extend cost and the align-kind name, so
-    # an nw_ag sweep's rows are self-describing.
-    yield "gape_cost", str(res.gape_cost)
-    yield "align_kind", res.align_kind
     yield "warmup_runs", str(res.warmup_runs)
     yield "sample_runs", str(res.sample_runs)
     yield "last_run_idx", str(res.last_run_idx)
@@ -56,9 +53,6 @@ def _fields(res: AlgResult, ctl: TsvPrintCtl):
     yield "err_step", str(res.errstep)
     yield "nw_stat", str(int(res.stat))
     yield "cuda_stat", str(int(res.device_stat))
-    # Extension column: exception class/message of a failed step (the
-    # reference records only the raw cudaError_t code).
-    yield "error_msg", res.error_msg.replace("\t", " ").replace("\n", " ")
 
     yield "align_cost", str(res.align_cost)
     if ctl.f_print_score_stats:
@@ -88,6 +82,15 @@ def _fields(res: AlgResult, ctl: TsvPrintCtl):
         yield "trace.alloc", ms(res.sw_trace, "trace.alloc")
         yield "trace.calc", ms(res.sw_trace, "trace.calc")
         yield "edit_trace", res.edit_trace
+
+    # Extension columns (not in the reference schema — it only supports
+    # NW linear-gap and records no exception text), appended LAST so the
+    # reference columns keep their positions: the affine extend cost,
+    # the align-kind name, and the exception class/message of a failed
+    # step (the reference records only the raw cudaError_t code).
+    yield "gape_cost", str(res.gape_cost)
+    yield "align_kind", res.align_kind
+    yield "error_msg", res.error_msg.replace("\t", " ").replace("\n", " ")
 
 
 def write_result_to_tsv(os: TextIO, res: AlgResult, ctl: TsvPrintCtl) -> None:

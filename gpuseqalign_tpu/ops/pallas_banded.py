@@ -54,13 +54,13 @@ from .pallas_wavefront2 import (  # noqa: F401
 @functools.partial(
     jax.jit,
     static_argnames=("R", "W", "TW", "K", "band_cols", "kind", "gap",
-                     "interpret", "B"),
+                     "interpret", "B", "masked"),
 )
 def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
                 haloH, haloE, adjr_loc, adjc_loc, *, R: int, W: int,
                 TW: int, K: int, band_cols: int, kind: str = "nw",
                 gap: str = "linear", interpret: bool = False,
-                B: int | None = None):
+                B: int | None = None, masked: "bool | None" = None):
     """One pass (B row blocks, K chains) over one column band, any spec.
 
     subst_planes: (B, 8, SUB, 128)  packed substitution rows for the blocks
@@ -82,6 +82,12 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
       hrow (B, prev_len), hcol (B, CT, SUB, 128),
       frow/ecol (affine, same shapes), bv/bc (SW, (B, SUB, 128); bc holds
       the chain-local step c — global j = c0 + (c - lane) + 1).
+
+    ``masked`` overrides the blanket dead-lane validity mask (default:
+    on in interpret mode only — see _make_kernel). Tests pass
+    masked=False to exercise the PRODUCTION mask logic (SW argmax guards
+    etc.) under interpret mode, where the blanket mask would hide a
+    guard bug.
     """
     affine = gap == "affine"
     is_sw = kind == "sw"
@@ -116,8 +122,20 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
     kernel, _, _ = _make_kernel(
         K=K, SUB=SUB, W=W, CH=CH, cols_p=band_cols, R=R, TW=TW,
         OFF=OFF, prev_len=prev_len, B=B, kind=kind, gap=gap, banded=True,
-        masked=interpret, wrap=wrap,
+        masked=interpret if masked is None else masked, wrap=wrap,
     )
+
+    # SW argmax guard: the kernel's column mask (uok: u <= adjc_loc - 2)
+    # must never admit columns past the band edge — for a non-rightmost
+    # band adjc - c0 exceeds band_cols, and the cells at u >= band_cols
+    # are junk computed from the zero-padded X tail (letter 0 scores like
+    # a real letter under the SW zero clamp), which would corrupt the
+    # per-lane running max bv/bc on the unmasked (real-TPU) body. Clamp
+    # to the band's own column count (+1 header); a no-op for the
+    # rightmost band and at D=1 (there adjc_loc <= band_cols + 1 already).
+    # Regression: tests/test_parallel.py::test_giant2_sw_band_argmax_unmasked.
+    adjc_loc = jnp.minimum(jnp.asarray(adjc_loc, jnp.int32),
+                           jnp.int32(band_cols + 1))
 
     # SMEM scalar vector: [gapo, gape] + adjr_loc*K + adjc_loc*K + seeds*B
     # (seeds = H[(blk+1)R, c0], the j == 0 element of each output row).

@@ -1215,13 +1215,23 @@ def v2_regmem_bytes(*, K: int, SUB: int, affine: bool, is_sw: bool,
 
 def _is_compile_resource_error(e: Exception) -> bool:
     """True for Mosaic/XLA compile-time resource exhaustion (register/VMEM
-    spill) — the only failure mode the K-backoff retry should absorb."""
+    spill) — the only failure mode the K-backoff retry should absorb.
+
+    Deliberately narrow: bare "mosaic"/"exceeds"/"vmem" markers would
+    match essentially every Mosaic failure (e.g. a legalization bug that
+    only manifests at K > 1) and silently degrade it to K=1. A memory
+    word alone is not enough either — it must co-occur with an
+    exhaustion word (observed spill messages: "RESOURCE_EXHAUSTED: ...
+    scoped vmem", "exceeds available vmem", "register allocation
+    failed")."""
     msg = f"{type(e).__name__}: {e}".lower()
-    markers = (
-        "resource_exhausted", "resource exhausted", "vmem", "mosaic",
-        "register allocation", "spill", "scoped", "exceeds", "out of memory",
-    )
-    return any(m in msg for m in markers)
+    if any(m in msg for m in (
+            "resource_exhausted", "resource exhausted", "out of memory",
+            "register allocation", "spill")):
+        return True
+    has_mem = any(m in msg for m in ("vmem", "smem", "scratch"))
+    has_exhaust = any(m in msg for m in ("exceed", "alloc", "limit", "oom"))
+    return has_mem and has_exhaust
 
 
 K_MAX_DEFAULT = {

@@ -32,6 +32,19 @@ from ..core.types import AlignKind, AlignSpec, GapKind, NEG_INF_I32
 from .mesh import batch_sharding, replicated
 
 
+def _degenerate_cost(spec: AlignSpec, adjr: int, adjc: int, gapo: int,
+                     gape: int) -> int:
+    """Analytic align_cost of a pair with an empty sequence (adjr < 2 or
+    adjc < 2): the whole alignment is one gap run along the header
+    row/col, which the in-kernel bottom-right capture never visits."""
+    if spec.kind == AlignKind.SW:
+        return 0
+    n_gap = int(adjr + adjc) - 2
+    if spec.gap == GapKind.AFFINE:
+        return 0 if n_gap == 0 else gapo + n_gap * gape
+    return n_gap * gapo
+
+
 def _pad_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -271,13 +284,9 @@ def _pallas_batch_scores(
             if idx >= b:
                 break
             if degenerate[idx]:
-                if is_sw:
-                    costs[idx] = 0
-                elif spec.gap.value == "affine":
-                    n_gap = int(adjrs[idx] + adjcs[idx]) - 2
-                    costs[idx] = 0 if n_gap == 0 else gapo + n_gap * gape
-                else:
-                    costs[idx] = (int(adjrs[idx] + adjcs[idx]) - 2) * gapo
+                costs[idx] = _degenerate_cost(
+                    spec, adjrs[idx], adjcs[idx], gapo, gape
+                )
                 continue
             if is_sw:
                 v = bv[k]
@@ -349,13 +358,9 @@ def _pallas_tiny_scores(
     lane = np.arange(PR)
     for idx in range(b):
         if degenerate[idx]:
-            if is_sw:
-                costs[idx] = 0
-            elif spec.gap.value == "affine":
-                n_gap = int(adjrs[idx] + adjcs[idx]) - 2
-                costs[idx] = 0 if n_gap == 0 else gapo + n_gap * gape
-            else:
-                costs[idx] = (int(adjrs[idx] + adjcs[idx]) - 2) * gapo
+            costs[idx] = _degenerate_cost(
+                spec, adjrs[idx], adjcs[idx], gapo, gape
+            )
             continue
         if is_sw:
             v = bvs[idx]

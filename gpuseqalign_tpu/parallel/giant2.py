@@ -68,7 +68,7 @@ def _wrap_validated() -> bool:
     return _WRAP_TPU_VALIDATED or tuned_flag("wrap_tpu_validated")
 
 
-def pick_kb(n_blocks, K: int, D: int, *, R: int, W: int, TW: int,
+def pick_kb(n_blocks, K: int, D: int, *, R: int, W: int,
             band_cols: int, kb_max: int = 8) -> int:
     """Echelon groups per pass (pass height = KB*K*R rows), by the analytic
     efficiency model: per-device utilization is
@@ -105,14 +105,15 @@ def pick_kb(n_blocks, K: int, D: int, *, R: int, W: int, TW: int,
     jax.jit,
     static_argnames=(
         "mesh", "axis", "R", "W", "TW", "K", "band_cols", "n_pass",
-        "kind", "gap", "interpret", "KB",
+        "kind", "gap", "interpret", "KB", "masked",
     ),
 )
 def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
                 axis: str = "sp", R: int, W: int, TW: int, K: int,
                 band_cols: int, n_pass: int, kind: str = "nw",
                 gap: str = "linear", interpret: bool = False, KB: int = 1,
-                pass2pair=None, pass2local=None):
+                pass2pair=None, pass2local=None,
+                masked: "bool | None" = None):
     """Distributed sparse fill, any spec — one pair or a PIPELINED STREAM
     of pairs (align_giant2_stream): the scan runs sum(n_pass_i) + D - 1
     steps total, so the cross-device fill/drain bubble (D - 1 steps) is
@@ -235,7 +236,7 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
                 planes_p, xwin, g, ge, prev_in, prevF_in, haloH, haloE,
                 adjr[pid] - row0, adjc[pid] - c0,
                 R=R, W=W, TW=TW, K=K, band_cols=band_cols, kind=kind,
-                gap=gap, interpret=interpret, B=BL,
+                gap=gap, interpret=interpret, B=BL, masked=masked,
             )
             edge_top = prev_in[band_cols]
             rightH = out["hcol"][:, jtE].reshape(BL * R)
@@ -333,6 +334,7 @@ def align_giant2(
     res: AlgResult,
     mesh: Optional[Mesh] = None,
     interpret: bool = False,
+    masked: "bool | None" = None,
 ) -> Status:
     """Registry-shaped align fn for the v2 giant engine, any spec: pads,
     runs the distributed fill, and massages outputs into the reference
@@ -371,7 +373,7 @@ def align_giant2(
         # CLAUDE.md): flip _WRAP_TPU_VALIDATED after that run.
         if interpret or _wrap_validated() or \
                 jax.default_backend() != "tpu":
-            KB = pick_kb(n_blocks, K, D, R=R, W=min(512, TW), TW=TW,
+            KB = pick_kb(n_blocks, K, D, R=R, W=min(512, TW),
                          band_cols=band_cols)
         else:
             KB = 1
@@ -410,6 +412,7 @@ def align_giant2(
         mesh=mesh, R=R, W=min(512, TW), TW=TW, K=K,
         band_cols=band_cols, n_pass=n_pass, KB=KB,
         kind=spec.kind.value, gap=spec.gap.value, interpret=interpret,
+        masked=masked,
     )
     jax.block_until_ready(out_d)
     sw.lap("align.calc")
@@ -551,6 +554,7 @@ def align_giant2_stream(
     results: "list[AlgResult]",
     mesh: Optional[Mesh] = None,
     interpret: bool = False,
+    masked: "bool | None" = None,
 ) -> "list[Status]":
     """Align a STREAM of giant pairs through ONE pipelined distributed
     fill: the scan runs sum(n_pass_i) + D - 1 steps total, so the
@@ -615,7 +619,7 @@ def align_giant2_stream(
     if not KB:
         if interpret or _wrap_validated() or \
                 jax.default_backend() != "tpu":
-            KB = pick_kb(nb_l, K, D, R=R, W=W, TW=TW, band_cols=band_cols)
+            KB = pick_kb(nb_l, K, D, R=R, W=W, band_cols=band_cols)
         else:
             KB = 1
     BL = KB * K
@@ -658,6 +662,7 @@ def align_giant2_stream(
         mesh=mesh, R=R, W=W, TW=TW, K=K,
         band_cols=band_cols, n_pass=total_pass, KB=KB,
         kind=spec.kind.value, gap=spec.gap.value, interpret=interpret,
+        masked=masked,
         pass2pair=p2p, pass2local=p2l,
     )
     jax.block_until_ready(out_d)
@@ -695,6 +700,7 @@ def align_giant2_nw_lg(
     res: AlgResult,
     mesh: Optional[Mesh] = None,
     interpret: bool = False,
+    masked: "bool | None" = None,
 ) -> Status:
     """Back-compat wrapper: the original NW linear-gap-only surface."""
     if not (nw.spec.kind == AlignKind.NW and nw.spec.gap == GapKind.LINEAR):

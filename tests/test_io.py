@@ -123,20 +123,21 @@ def test_default_pairs(seq_data):
 
 
 # Reference column names/order (ref: src/file_formats.cpp:467-520) plus
-# the extension columns gape_cost/align_kind (after gapo_cost) and
-# error_msg (after cuda_stat) — the reference is NW-linear-only, so these
-# have no reference analog.
+# the extension columns gape_cost/align_kind/error_msg APPENDED after the
+# last reference column, so every reference column keeps its reference
+# position (positional parsers of reference TSVs keep working) — the
+# reference is NW-linear-only, so these have no reference analog.
 EXPECTED_COLS = [
     "alg_name", "seqY_idx", "seqX_idx", "seqY_id", "seqX_id",
-    "seqY_len", "seqX_len", "subst_name", "gapo_cost", "gape_cost",
-    "align_kind", "warmup_runs",
+    "seqY_len", "seqX_len", "subst_name", "gapo_cost", "warmup_runs",
     "sample_runs", "last_run_idx", "alg_params", "err_step", "nw_stat",
-    "cuda_stat", "error_msg", "align_cost", "score_hash", "trace_hash",
+    "cuda_stat", "align_cost", "score_hash", "trace_hash",
     "sm_count",
     "ram_peak_allocs", "glmem_peak_allocs", "shmem_peak_allocs",
     "locmem_peak_allocs", "regmem_peak_allocs", "align.alloc",
     "align.cpy_dev", "align.init_hdr", "align.calc_init", "align.calc",
     "align.cpy_host", "hash.calc", "trace.alloc", "trace.calc", "edit_trace",
+    "gape_cost", "align_kind", "error_msg",
 ]
 
 

@@ -229,25 +229,74 @@ class TestGiant2:
         from gpuseqalign_tpu.parallel.giant2 import pick_kb
 
         # Narrow band: wrap_ok fails -> 1.
-        assert pick_kb(100, 2, 4, R=128, W=128, TW=128, band_cols=256) == 1
+        assert pick_kb(100, 2, 4, R=128, W=128, band_cols=256) == 1
         # Few blocks -> 1.
-        assert pick_kb(2, 2, 4, R=128, W=128, TW=128, band_cols=640) == 1
+        assert pick_kb(2, 2, 4, R=128, W=128, band_cols=640) == 1
         # Plentiful blocks, D=1 (no pipeline cost): drain amortization
         # pushes KB up.
-        kb = pick_kb(512, 4, 1, R=2048, W=512, TW=2048, band_cols=8192)
+        kb = pick_kb(512, 4, 1, R=2048, W=512, band_cols=8192)
         assert kb >= 4
         # Same shape, D=8: pipeline bubble tempers KB.
-        kb8 = pick_kb(64, 4, 8, R=2048, W=512, TW=2048, band_cols=8192)
+        kb8 = pick_kb(64, 4, 8, R=2048, W=512, band_cols=8192)
         assert kb8 <= kb
         # Stream form: many small pairs give the same pipeline total but
         # per-pair padding, so KB is capped by the pair height (any KB
         # whose pass exceeds one pair's blocks only adds padding).
-        kb_s = pick_kb([8] * 64, 4, 8, R=2048, W=512, TW=2048,
+        kb_s = pick_kb([8] * 64, 4, 8, R=2048, W=512,
                        band_cols=8192)
         assert kb_s <= 2
         # Single-int and 1-element-list forms agree.
-        assert kb8 == pick_kb([64], 4, 8, R=2048, W=512, TW=2048,
+        assert kb8 == pick_kb([64], 4, 8, R=2048, W=512,
                               band_cols=8192)
+
+    def test_sw_band_argmax_unmasked(self):
+        """PRODUCTION-body (masked=False) guard: SW's in-kernel argmax
+        must never capture junk cells past the band edge.
+
+        For a non-rightmost band, adjc - c0 exceeds band_cols, and the
+        cells at u >= band_cols are computed from the zero-padded X tail
+        — letter 0 scores like a real letter, so under the SW zero clamp
+        those junk cells can beat every true cell. banded_pass clamps
+        adjc_loc to band_cols + 1 before it reaches the uok mask;
+        without the clamp this exact setup captures bv = 1200 (120
+        letter-0 junk matches x +10) instead of <= 0.
+
+        Every other interpret test runs masked=True (the blanket
+        dead-lane mask keeps XLA:CPU compiles tractable), which hides
+        this class of bug — so this one test pays the slow (~5 min)
+        unmasked compile to exercise the real-TPU mask logic. sw_ag
+        shares the identical spec-independent uok path (same `is_sw`
+        block in _make_kernel), so sw_lg alone covers it.
+        """
+        import jax.numpy as jnp
+
+        from gpuseqalign_tpu.ops.pallas_banded import banded_pass
+        from gpuseqalign_tpu.ops.pallas_wavefront2 import _pack_planes
+
+        ss = 8
+        subst = np.full((ss, ss), -3, np.int32)
+        np.fill_diagonal(subst, 10)
+        R = W = TW = band_cols = 128
+        B = K = 1
+        NSpad = 384
+        rng = np.random.default_rng(7)
+        y = np.zeros(1 + B * R, np.int32)  # all letter 0
+        xpad = np.zeros(NSpad, np.int32)
+        # Band letters never 0 -> every TRUE band cell scores <= 0.
+        xpad[:band_cols] = rng.integers(1, ss, band_cols)
+        out = banded_pass(
+            _pack_planes(jnp.asarray(subst), jnp.asarray(y), B, R),
+            jnp.asarray(xpad.reshape(NSpad // W, W // 128, 128)),
+            jnp.int32(-4), jnp.int32(0),
+            jnp.zeros(NSpad + 128, jnp.int32),  # SW header row = 0
+            None,
+            jnp.zeros(B * R + 1, jnp.int32),    # SW header col = 0
+            None,
+            jnp.int32(121), jnp.int32(300),     # pair extends PAST band 0
+            R=R, W=W, TW=TW, K=K, band_cols=band_cols,
+            kind="sw", gap="linear", interpret=True, masked=False,
+        )
+        assert int(np.asarray(out["bv"]).max()) <= 0
 
 
 class TestGiant2Stream:
