@@ -223,16 +223,40 @@ def benchmark_algs(cmd_args, cmd_data, bench_data: BenchmarkData) -> Status:
                             res.errstep = (
                                 1 if res.stat == Status.errorInvalidValue else 2
                             )
+                        def run_step(fn, step_name):
+                            # Same contract as the align step: a raising
+                            # hash/trace is THIS run's failure (errstep +
+                            # error_msg in its TSV row), not an abort of
+                            # every remaining pair/param/algorithm.
+                            try:
+                                return fn()
+                            except Exception as e:
+                                res.error_msg = (
+                                    f"{type(e).__name__}: {e}"
+                                )[:300]
+                                print(
+                                    f"error: {alg_name} {step_name} failed "
+                                    f"on pair ({res.seqY_id}, "
+                                    f"{res.seqX_id}): {res.error_msg}",
+                                    file=sys.stderr,
+                                )
+                                return Status.errorKernelFailure
+
                         if (
                             cmd_args.f_calc_score_hash
                             and not res.errstep
                         ):
-                            res.stat = alg.hash(nw, res)
+                            res.stat = run_step(
+                                lambda: alg.hash(nw, res), "hash"
+                            )
                             if res.stat != Status.success:
                                 res.errstep = 3
                         if cmd_args.f_calc_trace and not res.errstep:
-                            res.stat = alg.trace(
-                                nw, res, cmd_args.f_print_trace
+                            res.stat = run_step(
+                                lambda: alg.trace(
+                                    nw, res, cmd_args.f_print_trace
+                                ),
+                                "trace",
                             )
                             if res.stat != Status.success:
                                 res.errstep = 4

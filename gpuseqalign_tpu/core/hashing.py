@@ -51,10 +51,10 @@ def djb2_array(arr: np.ndarray, h: int = DJB2_SEED) -> int:
     """
     flat = np.ascontiguousarray(arr, dtype=np.int32).ravel()
     try:
-        from ..native import lib as _native
+        from .. import native
 
-        if _native is not None:
-            return int(_native.djb2_i32(flat, h))
+        if native.available():
+            return native.djb2_i32(flat, h)
     except Exception:
         pass
     return djb2_ints(flat.tolist(), h)

@@ -144,6 +144,12 @@ class AlgParams:
 
     def __init__(self, params: Optional[Dict[str, List[int]]] = None):
         self._values: Dict[str, List[int]] = dict(params or {})
+        for name, vals in self._values.items():
+            if not vals:
+                # An empty list has no current combination; at() would
+                # IndexError mid-benchmark. io/params.py rejects this at
+                # parse time; guard programmatic construction too.
+                raise ValueError(f'empty parameter value list: "{name}"')
         self._idx: Dict[str, int] = {k: 0 for k in self._values}
         self._is_end = False
 
@@ -253,6 +259,14 @@ class AlgInput:
         self.tileFrowMat = None
         self.tileEcolMat = None
         self.trace = None
+        # Peaks are PER-CYCLE (the reference recomputes allocation totals
+        # after each cycle reset): without this, a small pair benchmarked
+        # after a large one reports the large pair's footprint in its
+        # ram/glmem TSV columns. The input sequences survive the reset,
+        # so re-note the current baseline.
+        self.host_peak_bytes = 0
+        self.device_peak_bytes = 0
+        self.note_host_alloc()
 
 
 @dataclasses.dataclass

@@ -21,11 +21,15 @@ def parse_alg_params_file(path: str) -> Dict[str, Dict[str, List[int]]]:
             raise ValueError(f'algorithm parameters must be an object: "{alg_name}"')
         out[alg_name] = {}
         for pname, values in params.items():
-            if not isinstance(values, list) or not all(
+            # Non-empty: an empty list would make the AlgParams odometer
+            # have no current combination (at()/copy_current IndexError
+            # deep inside the benchmark loop).
+            if not isinstance(values, list) or not values or not all(
                 isinstance(v, int) for v in values
             ):
                 raise ValueError(
-                    f'parameter values must be a list of ints: "{alg_name}.{pname}"'
+                    "parameter values must be a non-empty list of ints: "
+                    f'"{alg_name}.{pname}"'
                 )
             out[alg_name][pname] = list(values)
     return out

@@ -240,6 +240,14 @@ def _align_xla(kernel):
     def align(pr: AlgParams, nw: AlgInput, res: AlgResult) -> Status:
         sw = res.sw_align
         sw.start()
+        # Guarded affine domain (same contract as align_pallas_mlsp and
+        # the oracle): the cummax E-chain construction assumes extending
+        # a gap never loses to re-opening one, which requires
+        # gapo <= 0 <= -gape. Outside it the fill would SILENTLY return
+        # non-Gotoh values — reject instead.
+        if nw.spec.gap == GapKind.AFFINE and (
+                nw.gapo_cost > 0 or nw.gape_cost > 0):
+            return Status.errorInvalidValue
         y, x = _pad_inputs(nw)
         sw.lap("align.alloc")
 

@@ -40,7 +40,12 @@ class _LazyE:
 
     def __getitem__(self, idx):
         i, j = idx
-        if j == 0:
+        # The true E is -inf along BOTH borders (the oracle never writes
+        # row 0 and pins column 0 each row); returning a finite
+        # reconstruction at i == 0 would let the debug-mode attainment
+        # walk enter the E state on the header row, double-appending the
+        # visited cell and diverging the trace hash from the sparse walk.
+        if i == 0 or j == 0:
             return np.int32(NEG_INF_I32)
         if i != self._i:
             m = (self.H[i] + self.go - self.offs).astype(np.int32)
@@ -64,7 +69,9 @@ class _LazyF:
 
     def __getitem__(self, idx):
         i, j = idx
-        if i == 0:
+        # -inf along BOTH borders, mirroring _LazyE (true F is never
+        # finite at row 0 or column 0).
+        if i == 0 or j == 0:
             return np.int32(NEG_INF_I32)
         if j != self._j:
             m = (self.H[:, j] + self.go - self.offs).astype(np.int32)

@@ -406,9 +406,61 @@ def _trace_sparse_general(
     return Status.success
 
 
+def _stored_header_overlay(nw: AlgInput):
+    """Returns overlay(i, row) that replaces a recomputed row's cells
+    with the KERNEL-STORED tile-header values where they exist — tile
+    header rows wholesale, tile header-column cells otherwise — or None
+    when the sparse mats are absent.
+
+    This is what makes the sparse score hash a real kernel check: the
+    reference intends the same (ref: src/nwtrace2_sparse.cpp:295-309
+    loads tileHrowMat/tileHcolMat elements into the hash stream; its
+    GetTileAndElemIJ quirk mostly disables the loads — we implement the
+    intent). For a CORRECT kernel, stored == recomputed, so the hash
+    value (and score print) is bit-identical to the dense byte stream;
+    a kernel store-indexing bug now surfaces as errstep 5 instead of
+    vanishing into a from-scratch recompute. Overlaid rows feed the
+    rolling recurrence, so a bad stored value also propagates downward,
+    like the reference's prevRow."""
+    if (nw.tileHrowMat is None or nw.tileHcolMat is None
+            or nw.tile_hrow_len < 2 or nw.tile_hcol_len < 2
+            or nw.tile_hdr_mat_rows < 1 or nw.tile_hdr_mat_cols < 1):
+        return None
+    th = nw.tile_hcol_len - 1
+    tw = nw.tile_hrow_len - 1
+    C = nw.tile_hdr_mat_cols
+    Rt = nw.tile_hdr_mat_rows
+    adjc = nw.adjcols
+    hrow = np.asarray(nw.tileHrowMat).reshape(Rt * C, nw.tile_hrow_len)
+    hcol = np.asarray(nw.tileHcolMat).reshape(Rt * C, nw.tile_hcol_len)
+    jts = np.arange(C, dtype=np.int64) * tw
+    jmask = (jts < adjc) & (jts != adjc - 1)
+    jsel = jts[jmask]
+
+    def overlay(i: int, row: np.ndarray) -> None:
+        it, ie = divmod(i, th)
+        if it == Rt:  # saturated last row (get_tile_and_elem_ij)
+            it -= 1
+            ie += th
+        if ie == 0 and i != nw.adjrows - 1 and it < Rt:
+            # Full stored header row: each tile's first tw entries plus
+            # the last tile's final (boundary) entry.
+            mat = hrow[it * C: (it + 1) * C]
+            stored = np.concatenate([mat[:, :tw].ravel(), mat[-1, tw:]])
+            n = min(adjc, stored.size)
+            row[:n] = stored[:n]
+        else:
+            # Stored header-column cells of this row (the last header
+            # column isn't stored — reference skips it too).
+            row[jsel] = hcol[it * C: (it + 1) * C, ie][jmask]
+
+    return overlay
+
+
 def _recompute_rows(nw: AlgInput):
     """Yield every row of the full logical score matrix, recomputed with
-    rolling rows (observable behavior of ref: src/nwtrace2_sparse.cpp:263-340
+    rolling rows, with kernel-stored tile-header values substituted where
+    stored (observable behavior of ref: src/nwtrace2_sparse.cpp:263-340
     for NW_LG; same construction for the extension specs)."""
     is_sw = nw.spec.kind == AlignKind.SW
     affine = nw.spec.gap == GapKind.AFFINE
@@ -420,6 +472,8 @@ def _recompute_rows(nw: AlgInput):
     offs_g = (np.arange(adjcols, dtype=np.int64) * int(go)).astype(np.int32)
     offs_e = (np.arange(adjcols, dtype=np.int64) * int(ge)).astype(np.int32)
 
+    overlay = _stored_header_overlay(nw)
+
     if is_sw:
         row = np.zeros(adjcols, np.int32)
     elif affine:
@@ -427,6 +481,8 @@ def _recompute_rows(nw: AlgInput):
         row[0] = 0
     else:
         row = offs_g.copy()
+    if overlay is not None:
+        overlay(0, row)
     yield row
     prev = row
     fprev = np.full(adjcols, ninf, np.int32)
@@ -464,6 +520,8 @@ def _recompute_rows(nw: AlgInput):
                 np.maximum(nxt, np.int32(0), out=nxt)
             fprev = frow
             prev = nxt
+        if overlay is not None:
+            overlay(i, prev)
         yield prev
 
 

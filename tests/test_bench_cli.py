@@ -201,3 +201,41 @@ def test_cli_help():
 
 def test_cli_missing_required():
     assert main(["--seqPath", "x.fa"]) == -1
+
+
+def test_driver_records_hash_trace_exceptions(tmp_path, monkeypatch):
+    """A raising hash/trace is THAT run's failure (errstep 3/4 with the
+    exception in error_msg), not an abort of the whole benchmark — same
+    contract as a raising align (AlgResult.error_msg docstring)."""
+    from gpuseqalign_tpu.bench import driver as drv
+    from gpuseqalign_tpu.core import registry
+
+    real_map = registry.get_algorithm_map()
+
+    def broken_map():
+        m = dict(real_map)
+        alg = m["cpu1_st_row"]
+        m["cpu1_st_row"] = type(alg)(
+            align=alg.align,
+            trace=alg.trace,
+            hash=lambda nw, res: (_ for _ in ()).throw(
+                RuntimeError("synthetic hash bug")
+            ),
+            print_score=alg.print_score,
+            print_trace=alg.print_trace,
+        )
+        return m
+
+    monkeypatch.setattr(drv, "get_algorithm_map", broken_map)
+    rc, rows = run_cli(
+        tmp_path, algs={"cpu1_st_row": {}, "tpu2_xla_rowscan": {}}
+    )
+    # The benchmark completed (both algorithms, all pairs in the TSV)...
+    assert {r["alg_name"] for r in rows} == {"cpu1_st_row", "tpu2_xla_rowscan"}
+    broken = [r for r in rows if r["alg_name"] == "cpu1_st_row"]
+    ok = [r for r in rows if r["alg_name"] == "tpu2_xla_rowscan"]
+    # ...the broken alg's rows carry errstep 3 + the exception text...
+    assert all(r["err_step"] == "3" for r in broken)
+    assert all("synthetic hash bug" in r["error_msg"] for r in broken)
+    # ...and the healthy algorithm still ran clean.
+    assert all(r["err_step"] == "0" for r in ok)

@@ -94,3 +94,63 @@ def test_range_id_suffix():
 def test_align_spec_names():
     for name in ("nw_lg", "nw_ag", "sw_lg", "sw_ag"):
         assert AlignSpec.from_name(name).name == name
+
+
+def test_params_empty_list_rejected():
+    """An empty parameter value list has no current combination — it
+    must fail fast (construction / parse), not IndexError mid-benchmark
+    inside the driver loop."""
+    import json
+
+    import pytest
+
+    from gpuseqalign_tpu.core.types import AlgParams
+    from gpuseqalign_tpu.io.params import parse_alg_params_file
+
+    with pytest.raises(ValueError):
+        AlgParams({"tileBy": []})
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "p.json")
+        with open(p, "w") as f:
+            json.dump({"tpu3_pallas_dense": {"blocksz": []}}, f)
+        with pytest.raises(ValueError):
+            parse_alg_params_file(p)
+
+
+def test_peak_mem_resets_per_cycle():
+    """ram/glmem peaks are PER-CYCLE: a small pair benchmarked after a
+    large one must not inherit the large pair's footprint."""
+    import numpy as np
+
+    from gpuseqalign_tpu.core.types import AlgInput
+
+    nw = AlgInput()
+    nw.seqY = np.zeros(10, np.int32)
+    nw.seqX = np.zeros(10, np.int32)
+    nw.score = np.zeros((4000, 4000), np.int32)  # a big cycle's matrix
+    nw.note_host_alloc()
+    nw.note_device_alloc(123456)
+    big = nw.host_peak_bytes
+    assert big > 4000 * 4000 * 4 - 1
+    nw.reset_cycle()
+    assert nw.host_peak_bytes < 1000  # just the surviving sequences
+    assert nw.device_peak_bytes == 0
+
+
+def test_djb2_array_uses_native_fast_path(monkeypatch):
+    """djb2_array must actually reach the native C++ djb2 when the
+    library is available (a broken symbol lookup once silently fell back
+    to the ~400x slower Python loop on every score hash)."""
+    import numpy as np
+
+    from gpuseqalign_tpu import native
+    from gpuseqalign_tpu.core import hashing
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    sentinel = 0xDEADBEE
+    monkeypatch.setattr(native, "djb2_i32", lambda arr, h=5381: sentinel)
+    assert hashing.djb2_array(np.arange(10, dtype=np.int32)) == sentinel

@@ -58,3 +58,41 @@ def test_mlsp_matches_oracle(blosum62, rng, spec_name, rows, cols):
 
     assert hash_sparse(nw, res) == Status.success
     assert res.score_hash == oracle_hash_dense(mats["H"])
+
+
+def test_sparse_hash_reads_stored_headers(blosum62, rng):
+    """The sparse score hash must be a REAL kernel check: it substitutes
+    the kernel-stored tile-header values into its rolling recompute
+    (reference intent, src/nwtrace2_sparse.cpp:295-309), so a kernel
+    store bug flips the hash instead of vanishing into a from-scratch
+    recompute. For a correct kernel the stored values equal the
+    recomputed ones, so the hash stays byte-identical to the dense one
+    (asserted by every test above)."""
+    spec = AlignSpec.from_name("nw_lg")
+    y, x = random_seq(rng, 130), random_seq(rng, 175)
+    nw = AlgInput()
+    nw.subst = blosum62
+    nw.substsz = blosum62.shape[0]
+    nw.seqY, nw.seqX = y, x
+    nw.adjrows, nw.adjcols = len(y), len(x)
+    nw.gapo_cost, nw.gape_cost = -11, 0
+    nw.spec = spec
+    res = AlgResult()
+    assert align_pallas_mlsp(
+        AlgParams({"tileBy": [32], "tileBx": [64]}), nw, res
+    ) == Status.success
+    mats = oracle_align_dense(spec, blosum62, y, x, -11, 0)
+    want = oracle_hash_dense(mats["H"])
+    assert hash_sparse(nw, res) == Status.success
+    assert res.score_hash == want
+
+    # One corrupted stored element in each mat must flip the hash.
+    for mat_name, idx in (("tileHrowMat", (1, 3)), ("tileHcolMat", (2, 5))):
+        good = getattr(nw, mat_name)
+        bad = np.array(good, copy=True)
+        bad[idx] += 7
+        setattr(nw, mat_name, bad)
+        res_bad = AlgResult()
+        assert hash_sparse(nw, res_bad) == Status.success
+        assert res_bad.score_hash != want, mat_name
+        setattr(nw, mat_name, good)

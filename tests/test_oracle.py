@@ -167,3 +167,65 @@ def test_lazy_ef_views_match_dense(rng, blosum62):
             for j in range(1, len(x)):
                 assert E[i, j] == mats["E"][i, j], (spec_name, "E", i, j)
                 assert F[i, j] == mats["F"][i, j], (spec_name, "F", i, j)
+
+
+def test_lazy_ef_border_is_ninf(rng, blosum62):
+    """The lazy E/F views must be -inf along BOTH borders like the
+    oracle's dense matrices — a finite reconstruction at i == 0 (E) or
+    j == 0 (F) lets the debug-mode attainment walk enter the E/F state
+    on a header row/col, double-appending the visited cell and diverging
+    the dense trace hash from the sparse walk (regression)."""
+    from conftest import random_seq
+    from gpuseqalign_tpu.core.types import NEG_INF_I32
+    from gpuseqalign_tpu.trace.plain import _LazyE, _LazyF
+
+    spec = AlignSpec.from_name("nw_ag")
+    y, x = random_seq(rng, 9), random_seq(rng, 11)
+    mats = oracle_align_dense(spec, blosum62, y, x, -11, -2)
+    E = _LazyE(mats["H"], -11, -2)
+    F = _LazyF(mats["H"], -11, -2)
+    for j in range(len(x)):
+        assert E[0, j] == NEG_INF_I32
+        assert F[0, j] == NEG_INF_I32
+    for i in range(len(y)):
+        assert E[i, 0] == NEG_INF_I32
+        assert F[i, 0] == NEG_INF_I32
+
+
+def test_trace_plain_debug_matches_oracle_affine(rng, blosum62):
+    """Dense DEBUG-mode traceback (lazy E/F) must be edit-for-edit and
+    hash-for-hash identical to the full-oracle debug walk — including
+    paths that reach row 0 / column 0 before (0, 0) (the border case the
+    lazy views got wrong once: 128/300 divergences pre-fix)."""
+    from gpuseqalign_tpu.core.types import AlgInput, AlgResult, Status
+    from gpuseqalign_tpu.trace.plain import trace_plain
+
+    for t in range(60):
+        ss = 6
+        subst = rng.integers(-5, 9, (ss, ss)).astype(np.int32)
+        r, c = int(rng.integers(1, 12)), int(rng.integers(1, 12))
+        y = np.zeros(1 + r, np.int32)
+        y[1:] = rng.integers(0, ss, r)
+        x = np.zeros(1 + c, np.int32)
+        x[1:] = rng.integers(0, ss, c)
+        spec = AlignSpec.from_name("nw_ag" if t % 2 else "sw_ag")
+        gapo, gape = -7, -1
+        mats = oracle_align_dense(spec, subst, y, x, gapo, gape)
+        tr_o, th_o, _ = oracle_trace_dense(
+            spec, mats, subst, y, x, gapo, gape, debug=True
+        )
+        nw = AlgInput()
+        nw.subst = subst
+        nw.substsz = ss
+        nw.seqY, nw.seqX = y, x
+        nw.adjrows, nw.adjcols = len(y), len(x)
+        nw.gapo_cost, nw.gape_cost = gapo, gape
+        nw.spec = spec
+        nw.score = mats["H"]
+        if spec.kind.value == "sw":
+            nw.best_i = int(mats["best"][0])
+            nw.best_j = int(mats["best"][1])
+        res = AlgResult()
+        assert trace_plain(nw, res, True) == Status.success
+        assert res.edit_trace == tr_o, t
+        assert res.trace_hash == th_o, t

@@ -68,3 +68,25 @@ def test_rowscan_mlsp_headers_match_oracle(blosum62, rng):
         for r in range(tile_h):
             for jt in range(tcols):
                 assert hcols[it, r, jt] == H_ref[it * tile_h + 1 + r, jt * tile_w]
+
+
+def test_affine_positive_costs_rejected(blosum62, rng):
+    """The XLA dense kernels share the guarded affine domain
+    (gapo <= 0 and gape <= 0) with align_pallas_mlsp and the oracle: the
+    cummax E-chain silently returns non-Gotoh values for gapo > 0, so
+    the wrapper must reject instead (errstep 1, not a wrong baseline)."""
+    from conftest import random_seq
+    from gpuseqalign_tpu.core.types import AlgInput, AlgParams, AlgResult, Status
+    from gpuseqalign_tpu.ops.xla_kernels import align_xla_diag, align_xla_rowscan
+
+    spec = AlignSpec.from_name("nw_ag")
+    y, x = random_seq(rng, 8), random_seq(rng, 9)
+    nw = AlgInput()
+    nw.subst = blosum62
+    nw.substsz = blosum62.shape[0]
+    nw.seqY, nw.seqX = y, x
+    nw.adjrows, nw.adjcols = len(y), len(x)
+    nw.gapo_cost, nw.gape_cost = 2, -1
+    nw.spec = spec
+    for fn in (align_xla_rowscan, align_xla_diag):
+        assert fn(AlgParams({}), nw, AlgResult()) == Status.errorInvalidValue
