@@ -247,63 +247,64 @@ def _trace_linear_nw(
     return edits, cells
 
 
-def _trace_attain(
-    spec: AlignSpec,
-    mats: Dict[str, np.ndarray],
-    subst: np.ndarray,
+def attain_walk(
+    val,
     seqY: np.ndarray,
     seqX: np.ndarray,
+    subst: np.ndarray,
     gapo: int,
     gape: int,
+    i: int,
+    j: int,
+    *,
+    is_sw: bool,
+    affine: bool,
     debug: bool,
 ) -> Tuple[List[str], List[int]]:
-    """Attainment-based traceback for SW and affine-gap specs.
+    """THE attainment traceback for SW and affine-gap specs, shared by
+    the dense walk (_trace_attain) and the sparse tile-recompute walk
+    (trace/sparse.py _trace_sparse_general) so the two can never drift
+    edit-for-edit — trace-hash verification depends on them being
+    identical.
 
-    Move preference mirrors the reference order: diagonal, then up ('I'),
-    then left ('D'). In a gap run, the gap is closed as early as possible
-    (prefer exiting to H while walking backwards).
+    ``val(name, i, j) -> int`` reads matrix ``name`` in {"H", "E", "F"}
+    (dense arrays / lazy views / tile-recompute — caller's choice).
+    Move preference mirrors the reference order: diagonal, then up
+    ('I'), then left ('D'). In a gap run, the gap is closed as early as
+    possible (prefer exiting to H while walking backwards). Returns
+    (edits, debug cells) in reverse path order.
     """
-    H = mats["H"]
-    is_sw = spec.kind == AlignKind.SW
-    affine = spec.gap == GapKind.AFFINE
-    E = mats.get("E")
-    F = mats.get("F")
-
-    if is_sw:
-        i, j = (int(v) for v in mats["best"])
-    else:
-        i, j = H.shape[0] - 1, H.shape[1] - 1
-
     edits: List[str] = []
     cells: List[int] = []
     state = "H"
     while True:
         if state == "H":
+            h_ij = val("H", i, j)
             if debug:
-                cells.append(int(H[i, j]))
-            if is_sw and int(H[i, j]) == 0:
+                cells.append(h_ij)
+            if is_sw and h_ij == 0:
                 break
             if i == 0 and j == 0:
                 break
             moved = False
-            if i > 0 and j > 0 and int(H[i, j]) == int(
-                H[i - 1, j - 1] + subst[seqY[i], seqX[j]]
+            if i > 0 and j > 0 and h_ij == val("H", i - 1, j - 1) + int(
+                subst[seqY[i], seqX[j]]
             ):
                 edits.append("=" if seqX[j] == seqY[i] else "X")
                 i -= 1
                 j -= 1
                 moved = True
-            elif affine and i > 0 and F is not None and int(H[i, j]) == int(F[i, j]):
+            elif affine and i > 0 and h_ij == val("F", i, j):
                 state = "F"
                 moved = True
-            elif affine and j > 0 and E is not None and int(H[i, j]) == int(E[i, j]):
+            elif affine and j > 0 and h_ij == val("E", i, j):
                 state = "E"
                 moved = True
-            elif not affine and i > 0 and int(H[i, j]) == int(H[i - 1, j] + gapo):
+            elif not affine and i > 0 and h_ij == val("H", i - 1, j) + gapo:
                 edits.append("I")
                 i -= 1
                 moved = True
-            elif not affine and j > 0 and int(H[i, j]) == int(H[i, j - 1] + gapo):
+            elif not affine and j > 0 and h_ij == val("H", i, j - 1) + gapo:
                 edits.append("D")
                 j -= 1
                 moved = True
@@ -319,9 +320,9 @@ def _trace_attain(
                     break
         elif state == "F":
             if debug:
-                cells.append(int(H[i, j]))
+                cells.append(val("H", i, j))
             edits.append("I")
-            closes = int(F[i, j]) == int(H[i - 1, j] + gapo + gape)
+            closes = val("F", i, j) == val("H", i - 1, j) + gapo + gape
             i -= 1
             if closes:
                 state = "H"
@@ -329,13 +330,41 @@ def _trace_attain(
             # else stay in F (gap extends upward).
         else:  # state == "E"
             if debug:
-                cells.append(int(H[i, j]))
+                cells.append(val("H", i, j))
             edits.append("D")
-            closes = int(E[i, j]) == int(H[i, j - 1] + gapo + gape)
+            closes = val("E", i, j) == val("H", i, j - 1) + gapo + gape
             j -= 1
             if closes:
                 state = "H"
     return edits, cells
+
+
+def _trace_attain(
+    spec: AlignSpec,
+    mats: Dict[str, np.ndarray],
+    subst: np.ndarray,
+    seqY: np.ndarray,
+    seqX: np.ndarray,
+    gapo: int,
+    gape: int,
+    debug: bool,
+) -> Tuple[List[str], List[int]]:
+    """Dense-matrix adapter over attain_walk (mats may hold lazy E/F
+    views — anything indexable by (i, j))."""
+    H = mats["H"]
+    is_sw = spec.kind == AlignKind.SW
+
+    def val(name: str, ii: int, jj: int) -> int:
+        return int(mats[name][ii, jj])
+
+    if is_sw:
+        i, j = (int(v) for v in mats["best"])
+    else:
+        i, j = H.shape[0] - 1, H.shape[1] - 1
+    return attain_walk(
+        val, seqY, seqX, subst, gapo, gape, i, j,
+        is_sw=is_sw, affine=spec.gap == GapKind.AFFINE, debug=debug,
+    )
 
 
 def oracle_trace_dense(

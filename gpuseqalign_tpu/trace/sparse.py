@@ -35,7 +35,7 @@ from ..core.types import (
     NEG_INF_I32,
     Status,
 )
-from ..models.oracle import _row_chain_max
+from ..models.oracle import _row_chain_max, attain_walk as _attain_walk
 
 
 @dataclasses.dataclass
@@ -332,65 +332,13 @@ def _trace_sparse_general(
         m2 = cache.at(co2)
         return int(m2[name][co2.i_elem, co2.j_elem])
 
-    edits = []
-    cells = []
-    state = "H"
-    while True:
-        if state == "H":
-            h_ij = val("H", i, j)
-            if calc_debug_trace:
-                cells.append(h_ij)
-            if is_sw and h_ij == 0:
-                break
-            if i == 0 and j == 0:
-                break
-            moved = False
-            if i > 0 and j > 0 and h_ij == val("H", i - 1, j - 1) + int(
-                nw.subst[nw.seqY[i], nw.seqX[j]]
-            ):
-                edits.append("=" if nw.seqX[j] == nw.seqY[i] else "X")
-                i -= 1
-                j -= 1
-                moved = True
-            elif affine and i > 0 and h_ij == val("F", i, j):
-                state = "F"
-                moved = True
-            elif affine and j > 0 and h_ij == val("E", i, j):
-                state = "E"
-                moved = True
-            elif not affine and i > 0 and h_ij == val("H", i - 1, j) + gapo:
-                edits.append("I")
-                i -= 1
-                moved = True
-            elif not affine and j > 0 and h_ij == val("H", i, j - 1) + gapo:
-                edits.append("D")
-                j -= 1
-                moved = True
-            if not moved:
-                if i > 0:
-                    edits.append("I")
-                    i -= 1
-                elif j > 0:
-                    edits.append("D")
-                    j -= 1
-                else:
-                    break
-        elif state == "F":
-            if calc_debug_trace:
-                cells.append(val("H", i, j))
-            edits.append("I")
-            closes = val("F", i, j) == val("H", i - 1, j) + gapo + gape
-            i -= 1
-            if closes:
-                state = "H"
-        else:  # state == "E"
-            if calc_debug_trace:
-                cells.append(val("H", i, j))
-            edits.append("D")
-            closes = val("E", i, j) == val("H", i, j - 1) + gapo + gape
-            j -= 1
-            if closes:
-                state = "H"
+    # The walk itself is THE shared attainment walk (oracle.attain_walk)
+    # over the tile-recompute accessor, so dense and sparse transcripts
+    # cannot drift.
+    edits, cells = _attain_walk(
+        val, nw.seqY, nw.seqX, nw.subst, gapo, gape, i, j,
+        is_sw=is_sw, affine=affine, debug=calc_debug_trace,
+    )
 
     edits.reverse()
     cells.reverse()
