@@ -105,3 +105,15 @@ def test_tpu_window_orchestrator(tmp_path, monkeypatch):
     assert "complete" not in summary
     ondisk = json.loads((tmp_path / "summary.json").read_text())
     assert len(ondisk["steps"]) == 2
+
+
+def test_fuzz_smoke(capsys):
+    """Differential fuzzer: a short seeded run must agree across the
+    whole registry surface (cost + score hash + transcript + trace
+    hash). Long runs are a background tool; this pins the harness."""
+    from gpuseqalign_tpu.bench.fuzz import main
+
+    rc = main(["--cases", "6", "--seconds", "0", "--seed", "12345"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "6 cases, 0 failures" in out
