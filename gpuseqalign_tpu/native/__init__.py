@@ -98,3 +98,54 @@ def trace_linear_nw_native(
     if n < 0:
         raise RuntimeError("nw_trace_linear failed")
     return buf.raw[:n].decode("ascii"), int(out_hash.value)
+
+
+def hash_sparse_native(
+    subst: np.ndarray,
+    seqY: np.ndarray,
+    seqX: np.ndarray,
+    gapo: int,
+    gape: int,
+    kind: str,
+    gap: str,
+    hrowmat: Optional[np.ndarray],
+    hcolmat: Optional[np.ndarray],
+    th: int,
+    tw: int,
+    mat_rows: int,
+    mat_cols: int,
+    seed: int = 5381,
+) -> int:
+    """Sparse score hash (rolling-row recompute with stored-header
+    substitution) — the C++ twin of trace/sparse._recompute_rows +
+    _stored_header_overlay; ~15x the NumPy path on big pairs. Pass
+    hrowmat/hcolmat None to hash the pure recompute."""
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    subst = np.ascontiguousarray(subst, dtype=np.int32)
+    seqY = np.ascontiguousarray(seqY, dtype=np.int32)
+    seqX = np.ascontiguousarray(seqX, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    if hrowmat is not None and hcolmat is not None:
+        hrowmat = np.ascontiguousarray(hrowmat, dtype=np.int32)
+        hcolmat = np.ascontiguousarray(hcolmat, dtype=np.int32)
+        hr = hrowmat.ctypes.data_as(i32p)
+        hc = hcolmat.ctypes.data_as(i32p)
+    else:
+        hr = ctypes.cast(None, i32p)
+        hc = ctypes.cast(None, i32p)
+        th = tw = mat_rows = mat_cols = 0
+    return int(
+        lib.nw_hash_sparse(
+            subst.ctypes.data_as(i32p), ctypes.c_int(subst.shape[0]),
+            seqY.ctypes.data_as(i32p), ctypes.c_int(seqY.size),
+            seqX.ctypes.data_as(i32p), ctypes.c_int(seqX.size),
+            ctypes.c_int32(gapo), ctypes.c_int32(gape),
+            ctypes.c_int(1 if kind == "sw" else 0),
+            ctypes.c_int(1 if gap == "affine" else 0),
+            hr, hc,
+            ctypes.c_int(th), ctypes.c_int(tw),
+            ctypes.c_int(mat_rows), ctypes.c_int(mat_cols),
+            ctypes.c_uint32(seed & 0xFFFFFFFF),
+        )
+    )

@@ -66,6 +66,18 @@ def _set_signatures(lib: ctypes.CDLL) -> None:
         ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
     ]
     lib.nw_trace_linear.restype = ctypes.c_int64
+    lib.nw_hash_sparse.argtypes = [
+        i32p, ctypes.c_int,              # subst, substsz
+        i32p, ctypes.c_int,              # Y, adjrows
+        i32p, ctypes.c_int,              # X, adjcols
+        ctypes.c_int32, ctypes.c_int32,  # gapo, gape
+        ctypes.c_int, ctypes.c_int,      # kind, gap
+        i32p, i32p,                      # hrowmat, hcolmat (nullable)
+        ctypes.c_int, ctypes.c_int,      # th, tw
+        ctypes.c_int, ctypes.c_int,      # Rt, C
+        ctypes.c_uint32,                 # seed
+    ]
+    lib.nw_hash_sparse.restype = ctypes.c_uint32
 
 
 def load_library() -> Optional[ctypes.CDLL]:

@@ -241,4 +241,180 @@ int64_t nw_trace_linear(const int32_t* H, int adjrows, int adjcols,
     return len;
 }
 
+// Sparse score hash: rolling-row recompute of the full logical matrix with
+// kernel-stored tile-header substitution, folding every row into djb2.
+// Mirrors trace/sparse.py _recompute_rows + _stored_header_overlay
+// bit-exactly (all int32; values stay near +-2^30 so no overflow).
+//   kind: 0 = NW, 1 = SW;  gap: 0 = linear, 1 = affine
+//   hrowmat: (Rt*C, tw+1) row-major or NULL; hcolmat: (Rt*C, th+1) or NULL
+// Returns the hash (seed folded like the Python path's djb2_init).
+uint32_t nw_hash_sparse(const int32_t* subst, int substsz,
+                        const int32_t* Y, int adjrows,
+                        const int32_t* X, int adjcols,
+                        int32_t go, int32_t ge, int kind, int gap,
+                        const int32_t* hrowmat, const int32_t* hcolmat,
+                        int th, int tw, int Rt, int C, uint32_t seed)
+{
+    const int32_t NINF = -(1 << 30);
+    const bool sw = kind == 1;
+    const bool affine = gap == 1;
+    const bool ovl = hrowmat && hcolmat && th >= 1 && tw >= 1 && Rt >= 1 &&
+                     C >= 1;
+    std::vector<int32_t> prev(adjcols), cur(adjcols);
+    std::vector<int32_t> fprev, fcur, vrow;
+    if (affine)
+    {
+        fprev.assign(adjcols, NINF);
+        fcur.resize(adjcols);
+        vrow.resize(adjcols);
+    }
+
+    auto overlay = [&](int i, int32_t* row) {
+        if (!ovl)
+        {
+            return;
+        }
+        int it = i / th;
+        int ie = i % th;
+        if (it == Rt) // saturated last row (get_tile_and_elem_ij)
+        {
+            it -= 1;
+            ie += th;
+        }
+        if (ie == 0 && i != adjrows - 1 && it < Rt)
+        {
+            // Full stored header row: each tile's first tw entries, then
+            // the last tile's boundary element.
+            const int64_t base = (int64_t)it * C * (tw + 1);
+            int n = 0;
+            for (int jt = 0; jt < C && n < adjcols; jt++)
+            {
+                const int32_t* hr = hrowmat + base + (int64_t)jt * (tw + 1);
+                for (int e = 0; e < tw && n < adjcols; e++)
+                {
+                    row[n++] = hr[e];
+                }
+            }
+            if (n < adjcols)
+            {
+                row[n] = hrowmat[base + (int64_t)(C - 1) * (tw + 1) + tw];
+            }
+        }
+        else
+        {
+            // Stored header-column cells (last header column excluded).
+            const int64_t base = (int64_t)it * C * (th + 1);
+            for (int jt = 0; jt < C; jt++)
+            {
+                int64_t j = (int64_t)jt * tw;
+                if (j < adjcols && j != adjcols - 1)
+                {
+                    row[j] = hcolmat[base + (int64_t)jt * (th + 1) + ie];
+                }
+            }
+        }
+    };
+
+    // Row 0.
+    if (sw)
+    {
+        std::fill(prev.begin(), prev.end(), 0);
+    }
+    else if (affine)
+    {
+        prev[0] = 0;
+        for (int j = 1; j < adjcols; j++)
+        {
+            prev[j] = go + (int32_t)j * ge;
+        }
+    }
+    else
+    {
+        for (int j = 0; j < adjcols; j++)
+        {
+            prev[j] = (int32_t)j * go;
+        }
+    }
+    overlay(0, prev.data());
+    uint32_t h = seed;
+    for (int j = 0; j < adjcols; j++)
+    {
+        h = (h * 33u) ^ (uint32_t)prev[j];
+    }
+
+    for (int i = 1; i < adjrows; i++)
+    {
+        const int32_t* srow = subst + (int64_t)Y[i] * substsz;
+        if (!affine)
+        {
+            // cand[j] = max(prev[j-1] + s, prev[j] + go); SW clamps cand,
+            // THEN the left-gap chain runs, THEN the row clamps (matching
+            // _recompute_rows' order exactly).
+            cur[0] = sw ? 0 : (int32_t)i * go;
+            for (int j = 1; j < adjcols; j++)
+            {
+                int32_t c = std::max(prev[j - 1] + srow[X[j]],
+                                     prev[j] + go);
+                if (sw && c < 0)
+                {
+                    c = 0;
+                }
+                cur[j] = std::max(c, cur[j - 1] + go);
+            }
+            if (sw)
+            {
+                for (int j = 0; j < adjcols; j++)
+                {
+                    cur[j] = std::max(cur[j], 0);
+                }
+            }
+        }
+        else
+        {
+            // frow[j] = max(fprev[j], prev[j] + go) + ge; frow[0] = -inf.
+            fcur[0] = NINF;
+            for (int j = 1; j < adjcols; j++)
+            {
+                fcur[j] = std::max(fprev[j], prev[j] + go) + ge;
+            }
+            const int32_t h0 = sw ? 0 : (int32_t)(go + (int32_t)i * ge);
+            // vrow[j] = max(prev[j-1] + s, frow[j]) (SW clamped);
+            // vrow[0] is the E-chain seed vfull[0].
+            vrow[0] = sw ? 0 : h0;
+            for (int j = 1; j < adjcols; j++)
+            {
+                int32_t v = std::max(prev[j - 1] + srow[X[j]], fcur[j]);
+                if (sw && v < 0)
+                {
+                    v = 0;
+                }
+                vrow[j] = v;
+            }
+            // e[j] = max(e[j-1], vrow[j-1] + go) + ge (direct Gotoh form
+            // of the Python cummax construction).
+            cur[0] = sw ? 0 : h0;
+            int32_t e = NINF;
+            for (int j = 1; j < adjcols; j++)
+            {
+                int32_t cand = vrow[j - 1] + go;
+                e = std::max(e, cand) + ge;
+                int32_t n = std::max(vrow[j], e);
+                if (sw && n < 0)
+                {
+                    n = 0;
+                }
+                cur[j] = n;
+            }
+            std::swap(fprev, fcur);
+        }
+        overlay(i, cur.data());
+        for (int j = 0; j < adjcols; j++)
+        {
+            h = (h * 33u) ^ (uint32_t)cur[j];
+        }
+        std::swap(prev, cur);
+    }
+    return h;
+}
+
 } // extern "C"

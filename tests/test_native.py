@@ -47,3 +47,55 @@ def test_native_trace_matches_python(blosum62, rng):
         t, h = native.trace_linear_nw_native(mats["H"], Y, X)
         assert t == t_ref
         assert h == h_ref
+
+
+def test_hash_sparse_native_matches_python(blosum62, rng):
+    """The C++ sparse-hash twin must equal the Python rolling recompute
+    (both reading stored tile headers) on random inputs, every spec,
+    including degenerate shapes and no-mats (pure recompute) mode."""
+    import pytest
+
+    from gpuseqalign_tpu import native
+    from gpuseqalign_tpu.core.hashing import djb2_array, djb2_init
+    from gpuseqalign_tpu.core.types import (
+        AlgInput, AlgParams, AlgResult, AlignSpec, Status,
+    )
+    from gpuseqalign_tpu.ops.pallas_kernels import align_pallas_mlsp
+    from gpuseqalign_tpu.trace import sparse as sp
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    for t, (name, r, c) in enumerate([
+        ("nw_lg", 100, 211), ("nw_ag", 211, 100), ("sw_lg", 64, 64),
+        ("sw_ag", 33, 150), ("nw_ag", 0, 40), ("sw_lg", 40, 0),
+        ("nw_lg", 0, 0),
+    ]):
+        spec = AlignSpec.from_name(name)
+        gape = -2 if name.endswith("ag") else 0
+        y = np.zeros(1 + r, np.int32)
+        y[1:] = rng.integers(0, blosum62.shape[0], r)
+        x = np.zeros(1 + c, np.int32)
+        x[1:] = rng.integers(0, blosum62.shape[0], c)
+        nw = AlgInput()
+        nw.subst = blosum62
+        nw.substsz = blosum62.shape[0]
+        nw.seqY, nw.seqX = y, x
+        nw.adjrows, nw.adjcols = len(y), len(x)
+        nw.gapo_cost, nw.gape_cost = -11, gape
+        nw.spec = spec
+        stat = align_pallas_mlsp(
+            AlgParams({"tileBy": [32], "tileBx": [64]}), nw, AlgResult()
+        )
+        assert stat == Status.success
+        h_py = djb2_init()
+        for row in sp._recompute_rows(nw):
+            h_py = djb2_array(row, h_py)
+        assert sp._hash_sparse_value(nw) == h_py, (t, name)
+        # No-mats mode (pure recompute) agrees too.
+        nw.tileHrowMat = None
+        nw.tileHcolMat = None
+        h_py2 = djb2_init()
+        for row in sp._recompute_rows(nw):
+            h_py2 = djb2_array(row, h_py2)
+        assert sp._hash_sparse_value(nw) == h_py2, (t, name, "no-mats")
