@@ -54,8 +54,8 @@ DEFAULT_ALGS = [
 ]
 
 
-def _case_rng(seed: int, case: int) -> np.random.Generator:
-    return np.random.default_rng(np.random.SeedSequence([seed, case]))
+def _case_rng(seed: int, case: int, stream: int = 0) -> np.random.Generator:
+    return np.random.default_rng(np.random.SeedSequence([seed, stream, case]))
 
 
 def _gen_case(seed: int, case: int) -> dict:
@@ -122,6 +122,49 @@ def _run_alg(alg, alg_name: str, case: dict):
     return (res.align_cost, res.score_hash, res.edit_trace, res.trace_hash)
 
 
+def _run_batch_case(seed: int, case: int) -> "str | None":
+    """Fuzz the batch engine: a random bucket of pairs (degenerate shapes
+    included) through align_pairs_batched, each cost checked against the
+    dense CPU oracle. Returns an error string or None."""
+    from ..core.types import AlignSpec
+    from ..models.oracle import align_cost_of, oracle_align_dense
+    from ..parallel.batch import align_pairs_batched
+
+    rng = _case_rng(seed, case, stream=1)  # distinct from _gen_case
+    substsz = int(rng.integers(2, 26))
+    subst = rng.integers(-10, 13, (substsz, substsz)).astype(np.int32)
+    spec = AlignSpec.from_name(SPECS[int(rng.integers(0, len(SPECS)))])
+    gapo = int(rng.integers(-15, 0))
+    gape = int(rng.integers(-4, 1)) if spec.gap.value == "affine" else 0
+    n_pairs = int(rng.integers(1, 9))
+    pairs = []
+    for _ in range(n_pairs):
+        r = SIZES[int(rng.integers(0, len(SIZES)))]
+        c = SIZES[int(rng.integers(0, len(SIZES)))]
+        y = np.zeros(1 + r, np.int32)
+        if r:
+            y[1:] = rng.integers(0, substsz, r)
+        x = np.zeros(1 + c, np.int32)
+        if c:
+            x[1:] = rng.integers(0, substsz, c)
+        pairs.append((y, x))
+    quantum = "pow2" if rng.integers(0, 2) else 64
+    try:
+        out = align_pairs_batched(spec, subst, pairs, gapo, gape,
+                                  quantum=quantum)
+    except Exception as e:  # noqa: BLE001
+        return f"batch raised {type(e).__name__}: {e}"
+    for k, (y, x) in enumerate(pairs):
+        want = align_cost_of(
+            spec, oracle_align_dense(spec, subst, y, x, gapo, gape)
+        )
+        if int(out.costs[k]) != want:
+            return (f"batch pair {k} ({len(y)-1}x{len(x)-1}, "
+                    f"quantum={quantum}): {int(out.costs[k])} vs "
+                    f"oracle {want}")
+    return None
+
+
 def _map_guard(threshold: int) -> None:
     try:
         with open("/proc/self/maps") as f:
@@ -147,6 +190,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--includeGiant", action="store_true",
                     help="also run tpu9_giant_mlsp (interpret mode off-TPU"
                          " — much slower per new shape)")
+    ap.add_argument("--batchEvery", type=int, default=5,
+                    help="every Nth case additionally fuzzes the batch "
+                         "engine (align_pairs_batched vs the oracle; "
+                         "0 = never)")
     args = ap.parse_args(argv)
 
     import jax
@@ -203,6 +250,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             break
         if args.cases and case >= args.cases:
             break
+        if args.batchEvery and case % args.batchEvery == 0:
+            err = _run_batch_case(args.seed, case)
+            if err:
+                n_fail += 1
+                print(f"FAIL case={case} seed={args.seed} (batch): {err}")
         c = _gen_case(args.seed, case)
         results = {}
         for name in names:
