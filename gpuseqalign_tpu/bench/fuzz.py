@@ -86,6 +86,11 @@ def _gen_case(seed: int, case: int) -> dict:
         "tileBy": TILES[int(rng.integers(0, len(TILES)))],
         "tileBx": TILES[int(rng.integers(0, len(TILES)))],
         "blocksz": TILES[int(rng.integers(0, len(TILES)))],
+        # The giant (banded) engine needs 128-multiples; give it its own
+        # draw so includeGiant runs real geometries instead of rejects.
+        "giantBy": 128 * int(rng.integers(1, 3)),
+        "giantBx": 128 * int(rng.integers(1, 3)),
+        "giantK": int(rng.integers(1, 3)),
     }
 
 
@@ -102,11 +107,18 @@ def _run_alg(alg, alg_name: str, case: dict):
     nw.gapo_cost, nw.gape_cost = case["gapo"], case["gape"]
     nw.spec = AlignSpec.from_name(case["spec"])
     res = AlgResult()
-    params = AlgParams({
-        "tileBy": [case["tileBy"]],
-        "tileBx": [case["tileBx"]],
-        "blocksz": [case["blocksz"]],
-    })
+    if alg_name == "tpu9_giant_mlsp":
+        params = AlgParams({
+            "tileBy": [case["giantBy"]],
+            "tileBx": [case["giantBx"]],
+            "kChains": [case["giantK"]],
+        })
+    else:
+        params = AlgParams({
+            "tileBy": [case["tileBy"]],
+            "tileBx": [case["tileBx"]],
+            "blocksz": [case["blocksz"]],
+        })
     try:
         stat = alg.align(params, nw, res)
         if stat != Status.success:
@@ -190,6 +202,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--includeGiant", action="store_true",
                     help="also run tpu9_giant_mlsp (interpret mode off-TPU"
                          " — much slower per new shape)")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="virtual CPU device count (0 = default 1); "
+                         ">= 2 makes --includeGiant fuzz a real "
+                         "multi-band mesh (ICI halo dataflow)")
     ap.add_argument("--batchEvery", type=int, default=5,
                     help="every Nth case additionally fuzzes the batch "
                          "engine (align_pairs_batched vs the oracle; "
@@ -202,6 +218,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         # Pin BEFORE any backend query so a wedged axon plugin never
         # loads (the fuzzer is a CPU differential tool).
         jax.config.update("jax_platforms", "cpu")
+        if args.devices:
+            jax.config.update("jax_num_cpu_devices", args.devices)
     except Exception:
         pass
 

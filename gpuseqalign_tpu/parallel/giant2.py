@@ -328,6 +328,15 @@ def _tile_params(pr: AlgParams, spec) -> "tuple[int, int, int]":
     return R, TW, K
 
 
+def _tile_params_ok(R: int, TW: int, K: int) -> bool:
+    """Geometry the banded engine can actually run: the kernel packs
+    (R/128, 128) vectors and reshapes the band by W//128 chunks, so both
+    tile dims must be positive multiples of 128 (an undersized explicit
+    tileBy/tileBx is an invalid param combo, not a crash)."""
+    return (R >= 128 and R % 128 == 0 and TW >= 128 and TW % 128 == 0
+            and K >= 1)
+
+
 def align_giant2(
     pr: AlgParams,
     nw: AlgInput,
@@ -356,6 +365,8 @@ def align_giant2(
     rows = nw.adjrows - 1
     cols = nw.adjcols - 1
     R, TW, K = _tile_params(pr, spec)
+    if not _tile_params_ok(R, TW, K):
+        return Status.errorInvalidValue
     band_cols = _cdiv(max(cols, 1), D * TW) * TW
     cols_p = band_cols * D
     n_blocks = _cdiv(max(rows, 1), R)
@@ -607,6 +618,8 @@ def align_giant2_stream(
         t_ref = now
 
     R, TW, K = _tile_params(pr, spec)
+    if not _tile_params_ok(R, TW, K):
+        return [Status.errorInvalidValue] * n
     W = min(512, TW)
     rows_l = [nw.adjrows - 1 for nw in inputs]
     cols_l = [nw.adjcols - 1 for nw in inputs]

@@ -414,3 +414,32 @@ class TestGiant2Stream:
             mesh=mesh, interpret=True,
         )
         assert stats == [Status.errorInvalidValue] * 2
+
+
+class TestGiant2Params:
+    def test_undersized_tiles_rejected(self, blosum62, rng):
+        """Explicit tileBy/tileBx that aren't positive 128-multiples are
+        an invalid param combo for the banded engine — errorInvalidValue,
+        not a reshape crash (found by bench/fuzz.py)."""
+        from gpuseqalign_tpu.parallel.giant2 import (
+            align_giant2, align_giant2_stream,
+        )
+
+        y, x = random_seq(rng, 50), random_seq(rng, 60)
+        nw = AlgInput()
+        nw.subst = blosum62
+        nw.substsz = blosum62.shape[0]
+        nw.seqY, nw.seqX = y, x
+        nw.adjrows, nw.adjcols = len(y), len(x)
+        nw.gapo_cost, nw.gape_cost = -11, 0
+        nw.spec = AlignSpec.from_name("nw_lg")
+        mesh = make_mesh(1, axis_name="sp")
+        for params in ({"tileBy": [64]}, {"tileBx": [32]},
+                       {"tileBy": [192], "tileBx": [100]}):
+            stat = align_giant2(AlgParams(params), nw, AlgResult(),
+                                mesh=mesh, interpret=True)
+            assert stat == Status.errorInvalidValue, params
+            stats = align_giant2_stream(AlgParams(params), [nw],
+                                        [AlgResult()], mesh=mesh,
+                                        interpret=True)
+            assert stats == [Status.errorInvalidValue], params
