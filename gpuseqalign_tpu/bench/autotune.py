@@ -108,7 +108,11 @@ DEFAULT_V2_GRID = {
     # (R, TW, K) candidates for the flagship v2 kernel; W = min(512, TW).
     # Measured cliffs on v5e (wrap echelon, 2026-08): K=7+ collapses on
     # register spills (~13 GCUPS) or fails compile; affine fits K=4
-    # (K=5 fails); R=1024 variants are strictly worse.
+    # (K=5 fails); R=1024 variants are strictly worse. R=4096 is also
+    # closed (2026-08-18 sweep, logs/sweep_r4096.log): SUB=32 doubles
+    # every per-chain carry to 4 vregs, so nw_lg K_max drops to 4
+    # (57.0 GCUPS < 67.8 at R=2048 K=6; K=5 spills to 15, K=6 fails
+    # compile) and affine has no valid combination at all.
     "tileBy": [2048],
     "tileBx": [2048],
     "kChains": [3, 4, 5, 6],

@@ -204,6 +204,15 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                 extra vector add per step, drops 1 shift2)
       mincarry  all three — the smallest plausible production carry set
                 (v1, sh1p only, like the skeleton)
+      packedx   byte-pack the xd shift register ACROSS chains (letters are
+                5-bit): ceil(K/4) packed carries get ONE shift2 + fill
+                roll per step each, and every chain extracts its letter
+                with a shift+and. Replaces K fillx rolls + K xd shift2s
+                (2 lane rolls each) with 1-2, and frees 2(K-1)..2(K-2)
+                vregs — attacks both the permute-port bound and the K=7
+                spill cliff at once. The production recipe needs one
+                host-side packed stream xp[j] = sum_k X[(j - k*OFF) mod
+                NSpad] << 8(k%4) per K-group, same layout as xw today.
     """
     variants = variants or ["base", "nolookup", "lookup6", "smemx",
                             "noheader", "lean"]
@@ -214,7 +223,7 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
 
     def make_run(m, *, nolookup=False, planes6=False, smemx=False,
                  noheader=False, noacc=False, noprow=False,
-                 noxcarry=False, interpret=False):
+                 noxcarry=False, packedx=False, interpret=False):
         def kernel(xs_ref, a_ref, planes_ref, o_ref):
             a = a_ref[...]
             g = jnp.int32(-11)
@@ -233,19 +242,29 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                 out = jnp.where(l_iota == 0, c, b)
                 return jnp.where(i2d == 0, f, out)
 
-            NC = 5 - int(noxcarry) - int(noacc) - int(noprow)
+            NC = 5 - int(noxcarry or packedx) - int(noacc) - int(noprow)
+            npk = (K + 3) // 4 if packedx else 0
 
             def body(w, carry):
                 vs = list(carry)
                 clocs = [w * 128 + 511 - k for k in range(K)]
                 selbs = [jnp.mod(clocs[k] + 1, 2048) for k in range(K)]
                 for tt in range(128):
+                    if packedx:
+                        # One packed shift register per 4 chains: a single
+                        # fill roll + shift2 moves every chain's letter.
+                        for p in range(npk):
+                            fillp = (
+                                pltpu.roll(a + p, 128 - tt, axis=1)
+                                if tt else (a + p)
+                            )
+                            vs[NC * K + p] = shift2(vs[NC * K + p], fillp)
                     for k in range(K):
                         st = list(vs[NC * k: NC * (k + 1)])
                         v1, sh1p = st[0], st[1]
                         n = 2
                         xd = acc = prow = None
-                        if not noxcarry:
+                        if not (noxcarry or packedx):
                             xd = st[n]
                             n += 1
                         if not noacc:
@@ -255,7 +274,14 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                             prow = st[n]
                         c = clocs[k] + tt
                         # --- substitution operand ---
-                        if noxcarry:
+                        if packedx:
+                            # Per-chain letter extract from the packed
+                            # word: shift (free for k%4 == 0) + and.
+                            xd = vs[NC * K + k // 4]
+                            if k % 4:
+                                xd = xd >> ((k % 4) * 8)
+                            xd = xd & 255
+                        elif noxcarry:
                             # Recompute the lookup operand (one vector
                             # add) instead of carrying a shift register.
                             xd = (a + c) & 31
@@ -309,7 +335,7 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                         )
                         # --- captures ---
                         st = [cell, sh1]
-                        if not noxcarry:
+                        if not (noxcarry or packedx):
                             st.append(xd)
                         if not noacc:
                             sel = selbs[k] + tt
@@ -332,12 +358,14 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
             init = []
             for k in range(K):
                 init += [a + k, a + k + 1]
-                if not noxcarry:
+                if not (noxcarry or packedx):
                     init.append(a & 31)
                 if not noacc:
                     init.append(a)
                 if not noprow:
                     init.append(a[0:1, :])
+            for p in range(npk):
+                init.append((a + p) & 31)
             out = jax.lax.fori_loop(0, m, body, tuple(init))
             # Consume EVERY carry so no chain is dead-code-eliminable.
             s = out[0]
@@ -371,6 +399,7 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
         "noprow": {"noprow": True},
         "noxcarry": {"noxcarry": True},
         "mincarry": {"noacc": True, "noprow": True, "noxcarry": True},
+        "packedx": {"packedx": True},
     }
 
     if variants == ["__check__"]:  # CPU interpret-mode trace check
