@@ -625,6 +625,44 @@ def wrap_loc(ch, k, *, offw: int, SPB: int, BBtot: int):
     return bbk, lch - bbk * SPB
 
 
+def pack_x_streams(xs, *, OFF: int, K: int):
+    """Byte-pack the K chains' X-letter streams into ceil(K/4) planes.
+
+    The packedx register lever (ROOFLINE.md agenda #1, measured in
+    vpu_probe fullstep: K=8 body 133.6 GCUPS vs base-K=6 115.1): instead
+    of each chain carrying its own xd shift register (2 vregs) fed from
+    its own xwin ref, ceil(K/4) packed carries are fed from SHARED
+    planes where byte (k mod 4) of plane k//4 at stream position m is
+    chain k's letter at ITS OWN local position — chains run k*OFF steps
+    apart, and in wrap mode chain k's local stream restarts every NSpad
+    steps over the same X, so the stagger is periodic:
+
+        plane[p][m] = sum_{q<4, k=4p+q<K} xs[(m - k*OFF) mod NSpad] << 8q
+
+    One ref indexed by (ch mod SPB) serves every chain in both grid
+    modes: the packed read at global position j extracts, for chain k,
+    xs[(j - k*OFF) mod NSpad] — during live phases j - k*OFF is the
+    chain's local position (mod NSpad in wrap mode, identity in echelon
+    mode), and during fill/drain bubbles the wrapped junk letters feed
+    cells whose stores are already gated to ignored slots (exactly like
+    today's clip-to-chunk-0 junk). Parity with the per-chain xwin layout
+    is pinned by tests/test_pallas_wavefront2.py::test_pack_x_streams.
+
+    xs: (NSpad,) int32 letter stream (xpad[:NSpad]; values < 32).
+    Returns a list of ceil(K/4) (NSpad,) int32 packed planes.
+    """
+    planes = []
+    for p in range(_cdiv(K, 4)):
+        w = jnp.zeros_like(xs)
+        for q in range(4):
+            k = 4 * p + q
+            if k >= K:
+                break
+            w = w | (jnp.roll(xs, k * OFF) << (8 * q))
+        planes.append(w)
+    return planes
+
+
 def wrap_interleave(parts, BBtot: int, K: int, tail: tuple):
     """Merge K per-chain output arrays — chain k wrote only rows
     bbk*K + k of its own (BBtot*K,) + tail array — into one (B,) + tail."""

@@ -333,3 +333,67 @@ def test_align_dense_v2(blosum62, rng, spec_name):
     assert hash_plain(nw, res) == Status.success
     assert res.score_hash == djb2_array(mats["H"])
     assert res.shmem_peak_allocs > 0
+
+
+def test_pack_x_streams(rng):
+    """pack_x_streams parity with the per-chain xwin layout (ROOFLINE
+    agenda #1: the packedx host-side stream). For every live (ch, w, tt)
+    position of every chain, in BOTH grid modes' index maps, the byte
+    extracted from the shared packed plane at block (ch mod SPB) must
+    equal the letter the chain reads today from its own xwin ref at
+    block wrap_loc/clip(ch - k*offw)."""
+    from gpuseqalign_tpu.ops.pallas_wavefront2 import (
+        pack_x_streams, wrap_loc,
+    )
+
+    for R, W, K, cols_p, BBtot in [
+        (128, 128, 2, 512, 3),
+        (256, 128, 5, 1024, 2),  # K > 4: two packed planes
+        (128, 256, 3, 768, 2),
+        (256, 256, 7, 2048, 1),
+    ]:
+        def cdiv(a, b):
+            return -(-a // b)
+
+        OFF = W * cdiv(R + 256, W)
+        NS = R + cols_p - 1
+        NSpad = cdiv(NS + 128, W) * W
+        SPB = NSpad // W
+        offw = OFF // W
+        CH = (NSpad + (K - 1) * OFF) // W
+
+        x = rng.integers(0, 25, size=NSpad + 1).astype(np.int32)
+        xpad = np.zeros(NSpad + 1, np.int32)
+        xpad[:cols_p] = x[1 : 1 + cols_p]
+        xs = xpad[:NSpad]
+        xwin = xs.reshape(SPB, W // 128, 128)
+
+        planes = [np.asarray(p) for p in
+                  pack_x_streams(jnp.asarray(xs), OFF=OFF, K=K)]
+        assert len(planes) == cdiv(K, 4)
+
+        def packed_byte(ch, w, tt, k):
+            word = planes[k // 4][(ch % SPB) * W + w * 128 + tt]
+            return (word >> (8 * (k % 4))) & 255
+
+        # Echelon-mode live positions: block index ch - k*offw in range.
+        for k in range(K):
+            for ch in range(k * offw, min(CH, k * offw + SPB)):
+                for (w, tt) in [(0, 0), (0, 127), (W // 128 - 1, 63)]:
+                    want = xwin[ch - k * offw, w, tt]
+                    assert packed_byte(ch, w, tt, k) == want, (
+                        "echelon", R, W, K, ch, w, tt, k)
+
+        # Wrap-mode live positions: wrap_loc's within-block chunk.
+        grid = BBtot * SPB + (K - 1) * offw
+        for k in range(K):
+            for ch in range(grid):
+                lch = ch - k * offw
+                if not (0 <= lch < BBtot * SPB):
+                    continue  # bubble: letters are junk-tolerated
+                _, wch = wrap_loc(ch, k, offw=offw, SPB=SPB, BBtot=BBtot)
+                wch = int(wch)
+                for (w, tt) in [(0, 1), (W // 128 - 1, 127)]:
+                    want = xwin[wch, w, tt]
+                    assert packed_byte(ch, w, tt, k) == want, (
+                        "wrap", R, W, K, ch, w, tt, k)
