@@ -63,7 +63,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                  kind: str = "nw", gap: str = "linear",
                  batch: bool = False, capture_cost: bool = False,
                  banded: bool = False, dense: bool = False,
-                 masked: bool = False, wrap: bool = False):
+                 masked: bool = False, wrap: bool = False,
+                 packedx: bool = False):
     """Kernel factory shared by the full-matrix, batched and BANDED forms.
 
     ``banded`` (the per-device compute of the multi-chip giant engine,
@@ -108,9 +109,14 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
     assert not (banded and (batch or capture_cost))
     assert not (dense and (batch or banded))
     assert not (wrap and (batch or dense))
+    # packedx (ROOFLINE agenda #1): the xd shift registers of 4 chains
+    # share one byte-packed carry fed from a SHARED periodic stream
+    # (pack_x_streams); mlsp full-matrix modes only for now.
+    assert not (packedx and (batch or banded or dense))
     NSpad = prev_len - 128
     SPB = NSpad // W  # wrap mode: chunks per row block
     BBtot = B // K if K else 1
+    npk = _cdiv(K, 4) if packedx else 0
 
     def kernel(*refs):
         g_ref = refs[0]
@@ -133,7 +139,10 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                 if affine:
                     ecolin = refs[pos]; pos += 1
         planes_refs = refs[pos: pos + K]; pos += K
-        xw_refs = refs[pos: pos + K]; pos += K
+        if packedx:
+            xw_refs = refs[pos: pos + npk]; pos += npk
+        else:
+            xw_refs = refs[pos: pos + K]; pos += K
         hrow_refs = refs[pos: pos + K]; pos += K
         hcol_refs = refs[pos: pos + K]; pos += K
         if affine:
@@ -266,7 +275,14 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
         def init_chain(k):
             v1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
             shps[k] = jnp.full((SUB, 128), ninf, jnp.int32)
-            xds[k] = jnp.zeros((SUB, 128), jnp.int32)
+            if not packedx:
+                # packedx: the packed carry is CONTINUOUS across block
+                # wraps (the shared stream is periodic mod NSpad, so a
+                # chain's live lanes always hold current letters; its
+                # dead fill-phase lanes hold junk that is never read) —
+                # no per-chain re-init, and program-start scratch junk is
+                # covered by the same dead-lane argument.
+                xds[k] = jnp.zeros((SUB, 128), jnp.int32)
             accs[k] = jnp.full((SUB, 128), ninf, jnp.int32)
             # prow window accumulator; j == 0 header element seeded
             # (banded: H[(blk+1)R, c0] from the halo, via SMEM).
@@ -331,12 +347,14 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
         # Plane words resident for the whole program (8 x (SUB,128) per
         # chain): the per-lane substitution row, biased bytes.
         planes = [[planes_refs[k][0, p] for p in range(8)] for k in range(K)]
-        NCAR = (5 + (4 if affine else 0) + (2 if is_sw else 0)
+        NCAR = ((4 if packedx else 5) + (4 if affine else 0)
+                + (2 if is_sw else 0)
                 + (1 if capture_cost else 0))
 
         def window_body(w, carry):
             vs = list(carry)
-            xws = [xw_refs[k][0, pl.ds(w, 1), :] for k in range(K)]
+            xws = [xw_refs[i][0, pl.ds(w, 1), :]
+                   for i in range(npk if packedx else K)]
             # Per-window scalars (hoisted: per-step modulo/compare scalar
             # work measurably stalls the vector pipeline).
             if wrap:
@@ -368,12 +386,26 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                 pws.append(ent)
 
             for tt in range(128):
+                if packedx:
+                    # One shift register per 4 chains: a single fill roll
+                    # + shift2 advances every chain's letter byte.
+                    for p in range(npk):
+                        fillp = (
+                            pltpu.roll(xws[p], 128 - tt, axis=1)
+                            if tt else xws[p]
+                        )
+                        vs[NCAR * K + p] = shift2(vs[NCAR * K + p], fillp)
                 for k in range(K):
                     st = vs[NCAR * k: NCAR * (k + 1)]
-                    v1, sh1p, xd, acc, prow = st[:5]
+                    if packedx:
+                        v1, sh1p, acc, prow = st[:4]
+                        nhdr = 4
+                    else:
+                        v1, sh1p, xd, acc, prow = st[:5]
+                        nhdr = 5
                     if affine:
-                        e1, f1, accE, prowF = st[5:9]
-                    nbase = 5 + (4 if affine else 0)
+                        e1, f1, accE, prowF = st[nhdr:nhdr + 4]
+                    nbase = nhdr + (4 if affine else 0)
                     if is_sw:
                         bv, bc = st[nbase], st[nbase + 1]
                     if capture_cost:
@@ -382,10 +414,19 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     pw, pw2 = pws[k][0], pws[k][1]
 
                     # --- substitution: skewed X letter + packed lookup ---
-                    fillx = (
-                        pltpu.roll(xws[k], 128 - tt, axis=1) if tt else xws[k]
-                    )
-                    xd = shift2(xd, fillx)
+                    if packedx:
+                        # Per-chain letter extract from the shared packed
+                        # word: shift (free for k % 4 == 0) + and.
+                        xd = vs[NCAR * K + k // 4]
+                        if k % 4:
+                            xd = xd >> ((k % 4) * 8)
+                        xd = xd & 255
+                    else:
+                        fillx = (
+                            pltpu.roll(xws[k], 128 - tt, axis=1)
+                            if tt else xws[k]
+                        )
+                        xd = shift2(xd, fillx)
                     P = planes[k]
                     wi = xd >> 2
                     b0 = (wi & 1) > 0
@@ -522,7 +563,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     if affine:
                         accE = jnp.where(i2d == sel, e_new, accE)
 
-                    st = [cell, sh1, xd, acc, prow]
+                    st = ([cell, sh1, acc, prow] if packedx
+                          else [cell, sh1, xd, acc, prow])
                     if affine:
                         st += [e_new, f_new, accE, prowF]
                     if is_sw:
@@ -534,32 +576,45 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
 
         init = []
         for k in range(K):
-            init += [v1s[k], shps[k], xds[k], accs[k], prows[k]]
+            if packedx:
+                init += [v1s[k], shps[k], accs[k], prows[k]]
+            else:
+                init += [v1s[k], shps[k], xds[k], accs[k], prows[k]]
             if affine:
                 init += [e1s[k], f1s[k], accEs[k], prowFs[k]]
             if is_sw:
                 init += [bvs[k], bcs[k]]
             if capture_cost:
                 init += [costs_s[k]]
+        if packedx:
+            init += [xds[p] for p in range(npk)]
         out = jax.lax.fori_loop(0, n_win, window_body, tuple(init))
-        nbase = 5 + (4 if affine else 0)
+        nhdr = 4 if packedx else 5
+        nbase = nhdr + (4 if affine else 0)
         for k in range(K):
             st = out[NCAR * k: NCAR * (k + 1)]
             v1s[k] = st[0]
             shps[k] = st[1]
-            xds[k] = st[2]
-            accs[k] = st[3]
-            prows[k] = st[4]
+            if packedx:
+                accs[k] = st[2]
+                prows[k] = st[3]
+            else:
+                xds[k] = st[2]
+                accs[k] = st[3]
+                prows[k] = st[4]
             if affine:
-                e1s[k] = st[5]
-                f1s[k] = st[6]
-                accEs[k] = st[7]
-                prowFs[k] = st[8]
+                e1s[k] = st[nhdr]
+                f1s[k] = st[nhdr + 1]
+                accEs[k] = st[nhdr + 2]
+                prowFs[k] = st[nhdr + 3]
             if is_sw:
                 bvs[k] = st[nbase]
                 bcs[k] = st[nbase + 1]
             if capture_cost:
                 costs_s[k] = st[NCAR - 1]
+        if packedx:
+            for p in range(npk):
+                xds[p] = out[NCAR * K + p]
 
         if wrap:
             # Per-chain output flush at the chain's block END (the out
@@ -674,11 +729,12 @@ def wrap_interleave(parts, BBtot: int, K: int, tail: tuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("R", "W", "TW", "K", "kind", "gap", "interpret"),
+    static_argnames=("R", "W", "TW", "K", "kind", "gap", "interpret",
+                     "packedx"),
 )
 def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
                    TW: int, K: int, kind: str = "nw", gap: str = "linear",
-                   interpret: bool = False):
+                   interpret: bool = False, packedx: bool = False):
     """Sparse fill v2 for any spec. Returns a dict:
 
     hrow: (B, prev_len)         row (b+1)*R of H (indexed by global j)
@@ -730,8 +786,16 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
     kernel, q, _ = _make_kernel(
         K=K, SUB=SUB, W=W, CH=CH, cols_p=cols_p, R=R, TW=TW, OFF=OFF,
         prev_len=prev_len, B=B, kind=kind, gap=gap,
-        masked=interpret, wrap=use_wrap,
+        masked=interpret, wrap=use_wrap, packedx=packedx,
     )
+    npk = _cdiv(K, 4) if packedx else 0
+    if packedx:
+        # Shared byte-packed letter streams (ROOFLINE agenda #1): one ref
+        # per 4 chains, periodic mod NSpad, indexed by (ch mod SPB).
+        pstreams = [
+            w.reshape(NSpad // W, W // 128, 128)
+            for w in pack_x_streams(xpad[:NSpad], OFF=OFF, K=K)
+        ]
     gmat = jnp.stack(
         [jnp.int32(gapo), jnp.int32(gape)]
         + [jnp.asarray(adjr, jnp.int32)] * K
@@ -802,7 +866,24 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
                                  memory_space=pltpu.SMEM)
 
     in_specs = [gmat_spec]
-    in_specs += kmap(planes_spec) + kmap(xw_spec)
+    if packedx:
+        # npk SHARED packed-stream refs: every chain extracts its byte
+        # from block (ch mod SPB) — periodic in both grid modes.
+        if use_wrap:
+            pxw_spec = pl.BlockSpec(
+                (1, W // 128, 128),
+                lambda ch: (jnp.mod(ch, SPB), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            pxw_spec = pl.BlockSpec(
+                (1, W // 128, 128),
+                lambda bb, ch: (jnp.mod(ch, SPB), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        in_specs += kmap(planes_spec) + [pxw_spec] * npk
+    else:
+        in_specs += kmap(planes_spec) + kmap(xw_spec)
 
     row_shape = jax.ShapeDtypeStruct((B, 1, prev_len), jnp.int32)
     col_shape = jax.ShapeDtypeStruct((B, CT, SUB, 128), jnp.int32)
@@ -822,7 +903,7 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
     scratch += [
         pltpu.VMEM((K, SUB, 128), jnp.int32),  # v1s
         pltpu.VMEM((K, SUB, 128), jnp.int32),  # shps
-        pltpu.VMEM((K, SUB, 128), jnp.int32),  # xds
+        pltpu.VMEM(((npk or K), SUB, 128), jnp.int32),  # xds (packedx: npk)
         pltpu.VMEM((K, SUB, 128), jnp.int32),  # accs
         pltpu.VMEM((K, 1, 128), jnp.int32),    # prows
     ]
@@ -847,7 +928,8 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
         out_shape=tuple(out_shapes),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(gmat, *([planes] * K), *([xwin] * K))
+    )(gmat, *([planes] * K),
+      *(pstreams if packedx else [xwin] * K))
 
     # Chain k wrote only rows bb*K + k of its own output array; interleave.
     def merge_rows(parts):

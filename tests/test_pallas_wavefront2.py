@@ -397,3 +397,45 @@ def test_pack_x_streams(rng):
                     want = xwin[wch, w, tt]
                     assert packed_byte(ch, w, tt, k) == want, (
                         "wrap", R, W, K, ch, w, tt, k)
+
+
+@pytest.mark.parametrize(
+    "rows,cols,R,W,TW,K,spec_name",
+    [
+        (300, 900, 128, 128, 128, 2, "nw_lg"),    # wrap engages
+        (290, 300, 128, 128, 256, 5, "nw_lg"),    # echelon; two planes
+        (300, 900, 128, 128, 128, 2, "sw_ag"),    # wrap + all carries
+        (290, 300, 128, 128, 256, 5, "sw_ag"),    # echelon + all carries
+    ],
+)
+def test_v2_packedx_matches_base(blosum62, rng, rows, cols, R, W, TW, K,
+                                 spec_name):
+    """packedx (shared byte-packed xd streams, ROOFLINE agenda #1) must be
+    bit-identical to the per-chain xd carry in every output stream, in
+    both grid modes, for K <= 4 (one plane) and K > 4 (two planes)."""
+    from gpuseqalign_tpu.ops.pallas_wavefront2 import pallas_mlsp_v2
+
+    spec = AlignSpec.from_name(spec_name)
+    gapo, gape = -11, (-2 if spec.gap.value == "affine" else 0)
+    y = random_seq(rng, rows)
+    x = random_seq(rng, cols)
+    rows_p = _pad_to(rows, K * R)
+    cols_p = _pad_to(cols, TW)
+    yp = np.zeros(1 + rows_p, np.int32)
+    yp[: 1 + rows] = y
+    xp = np.zeros(1 + cols_p, np.int32)
+    xp[: 1 + cols] = x
+
+    kw = dict(R=R, W=W, TW=TW, K=K, kind=spec.kind.value,
+              gap=spec.gap.value, interpret=True)
+    base = pallas_mlsp_v2(
+        blosum62, jnp.asarray(yp), jnp.asarray(xp),
+        jnp.int32(gapo), jnp.int32(gape), 1 + rows, 1 + cols, **kw)
+    packed = pallas_mlsp_v2(
+        blosum62, jnp.asarray(yp), jnp.asarray(xp),
+        jnp.int32(gapo), jnp.int32(gape), 1 + rows, 1 + cols,
+        packedx=True, **kw)
+    assert set(base.keys()) == set(packed.keys())
+    for key in base:
+        np.testing.assert_array_equal(
+            np.asarray(base[key]), np.asarray(packed[key]), err_msg=key)
