@@ -43,23 +43,24 @@ GAPO, GAPE = -11, -2
 
 
 def _kernel_params():
-    """(R, W, TW, K) for the benched spec — from the autotuner cache
-    (resrc/tuned/<device_kind>.json, written by
+    """(R, W, TW, K, packedx) for the benched spec — from the autotuner
+    cache (resrc/tuned/<device_kind>.json, written by
     `python -m gpuseqalign_tpu.bench.autotune --save-defaults`), with the
     measured v5e literals as fallback."""
     from gpuseqalign_tpu.ops.pallas_wavefront2 import tuned_defaults
 
-    ent = tuned_defaults(KIND, GAP)
+    ent = tuned_defaults(KIND, GAP, allow_packedx=True)
     R = int(ent.get("tileBy", 2048))
     TW = int(ent.get("tileBx", 2048))
     K = int(ent.get("kChains", 4))
     W = int(ent.get("winW", 0) or min(512, TW))
     if TW % W or W % 128:
         W = min(512, TW)
-    return R, W, TW, K
+    return R, W, TW, K, bool(ent.get("packedx", 0))
 
 
-R, W, TW, K = 2048, 512, 2048, 4  # set in main() from the tuned cache
+# Set in main() from the tuned cache.
+R, W, TW, K, PACKEDX = 2048, 512, 2048, 4, False
 
 # Measured skeleton rooflines (GCUPS/chip on the v5e) at the kernel's own
 # K_max — the sustained rate of the irreducible wavefront step (carry
@@ -121,6 +122,7 @@ def _bench_tpu_v2(subst, seq) -> float:
                 subst, y, x2, gapo, jnp.int32(GAPE),
                 jnp.int32(n + 1), jnp.int32(n + 1),
                 R=R, W=W, TW=TW, K=K, kind=KIND, gap=GAP,
+                packedx=PACKEDX,
             )
             return out["hrow"][0, 0], None
 
@@ -203,8 +205,8 @@ def main() -> int:
     from gpuseqalign_tpu.core.types import AlgInput, AlgParams, AlgResult, Status
     from gpuseqalign_tpu.models.cpu_algs import align_cpu1_st_row
 
-    global R, W, TW, K
-    R, W, TW, K = _kernel_params()
+    global R, W, TW, K, PACKEDX
+    R, W, TW, K, PACKEDX = _kernel_params()
     subst, y = _load_fixture()
     on_tpu = tpu_up and jax.default_backend() == "tpu"
     rows = cols = len(y) - 1

@@ -116,6 +116,11 @@ DEFAULT_V2_GRID = {
     "tileBy": [2048],
     "tileBx": [2048],
     "kChains": [3, 4, 5, 6],
+    # packedx (shared byte-packed xd streams) is a REGISTER lever, not an
+    # issue-slot lever (fullstep probe: slower at K<=6 linear, unlocks
+    # K=7/8 past the spill cliff) — so it sweeps its own, higher K range.
+    "packedx": [0, 1],
+    "kChainsPacked": [5, 6, 7, 8],
 }
 
 
@@ -173,7 +178,12 @@ def tune_v2(
             if W % 128 or TW % W:
                 continue
             B = -(-n // R)
-            for K in grid.get("kChains", [4]):
+            for px, K in (
+                [(0, k) for k in grid.get("kChains", [4])]
+                + [(1, k) for k in (grid.get("kChainsPacked", [])
+                                    if 1 in grid.get("packedx", [0])
+                                    else [])]
+            ):
                 B_p = -(-B // K) * K
                 rows_p = B_p * R
                 cols_p = -(-n // TW) * TW
@@ -186,7 +196,8 @@ def tune_v2(
                 x_d = jnp.asarray(x)
 
                 @functools.partial(jax.jit, static_argnames=("m",))
-                def loop(subst_j, yj, xj, g0, *, m, R=R, W=W, TW=TW, K=K):
+                def loop(subst_j, yj, xj, g0, *, m, R=R, W=W, TW=TW, K=K,
+                         px=px):
                     def body(carry, _):
                         # True dependency via X's never-read header
                         # element (a 0*carry pseudo-dependency can be
@@ -196,6 +207,7 @@ def tune_v2(
                             subst_j, yj, xj2, g0, jnp.int32(gape),
                             jnp.int32(n + 1), jnp.int32(n + 1),
                             R=R, W=W, TW=TW, K=K, kind=kind, gap=gap,
+                            packedx=bool(px),
                         )
                         return out["hrow"][0, 0], None
 
@@ -225,27 +237,29 @@ def tune_v2(
                     resc = AlgResult()
                     stat = align_mlsp_v2(
                         AlgParams({"tileBy": [R], "tileBx": [TW],
-                                   "kChains": [K], "winW": [W]}),
+                                   "kChains": [K], "winW": [W],
+                                   "packedx": [px]}),
                         nwc, resc, R, TW, -(-pref // R), -(-pref // TW),
                     )
                     if stat != Status.success or resc.align_cost != want:
                         if verbose:
-                            print(f"  R={R} TW={TW} K={K}: GATE FAIL",
-                                  file=sys.stderr)
+                            print(f"  R={R} TW={TW} K={K} px={px}: "
+                                  "GATE FAIL", file=sys.stderr)
                         continue
                     t = (t_of(1 + m_iters) - t_of(1)) / m_iters
                 except Exception as e:
                     if verbose:
-                        print(f"  R={R} TW={TW} K={K}: {type(e).__name__}",
-                              file=sys.stderr)
+                        print(f"  R={R} TW={TW} K={K} px={px}: "
+                              f"{type(e).__name__}", file=sys.stderr)
                     continue
                 g = n * n / t / 1e9
                 if verbose:
-                    print(f"  R={R} TW={TW} W={W} K={K}: {g:.2f} GCUPS",
-                          file=sys.stderr)
+                    print(f"  R={R} TW={TW} W={W} K={K} px={px}: "
+                          f"{g:.2f} GCUPS", file=sys.stderr)
                 if best is None or g > best["_gcups"]:
                     best = {"tileBy": R, "tileBx": TW, "kChains": K,
-                            "winW": W, "_gcups": round(g, 3)}
+                            "winW": W, "packedx": px,
+                            "_gcups": round(g, 3)}
     if best is None:
         raise RuntimeError("no valid v2 combination")
     return best

@@ -18,6 +18,10 @@ Steps (the ROADMAP queue; subset with --steps):
                  engine (bench/validate_wrap_tpu.py) — persists the
                  `wrap_tpu_validated` tuned-cache flag on success;
                  skipped automatically once the flag is set
+  validate_packedx  on-chip differential drive of the packedx production
+                 kernel at the tuned geometry (bench/
+                 validate_packedx_tpu.py) — persists/skips on the
+                 `packedx_tpu_validated` flag likewise
   vpu_subk       register-spill ablation: skeleton GCUPS vs carry height
   vpu_ablate     fullstep K=7 carry ablations (noacc/noprow/noxcarry/
                  mincarry) — which carry must shrink for one more chain
@@ -62,14 +66,14 @@ def tpu_reachable(timeout_s: int = 180) -> bool:
     return p.returncode == 0 and "BK:tpu" in p.stdout
 
 
-def _wrap_already_validated(timeout_s: int = 180) -> bool:
-    """Check the tuned-cache flag in a SUBPROCESS: tuned_flag() resolves
+def _flag_already_set(flag: str, timeout_s: int = 180) -> bool:
+    """Check a tuned-cache flag in a SUBPROCESS: tuned_flag() resolves
     the cache path via jax.devices(), which initializes the axon backend
     — in-process that could hang on a wedged tunnel (no timeout) and
     would hold the single-chip claim for the whole window while the step
     subprocesses try to claim the same chip."""
     code = ("from gpuseqalign_tpu.ops.pallas_wavefront2 import tuned_flag;"
-            "print('WV:' + str(tuned_flag('wrap_tpu_validated')))")
+            f"print('WV:' + str(tuned_flag({flag!r})))")
     try:
         p = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
@@ -80,11 +84,21 @@ def _wrap_already_validated(timeout_s: int = 180) -> bool:
     return p.returncode == 0 and "WV:True" in p.stdout
 
 
+# Steps skipped automatically once their tuned-cache flag is persisted
+# (each validation drive writes its flag on PASS).
+_STEP_FLAGS = {
+    "validate_wrap": "wrap_tpu_validated",
+    "validate_packedx": "packedx_tpu_validated",
+}
+
+
 def _step_cmds() -> "dict[str, list[str]]":
     py = sys.executable
     mod = lambda m, *a: [py, "-m", m, *a]  # noqa: E731
     return {
         "validate_wrap": mod("gpuseqalign_tpu.bench.validate_wrap_tpu"),
+        "validate_packedx": mod(
+            "gpuseqalign_tpu.bench.validate_packedx_tpu"),
         "vpu_subk": mod("gpuseqalign_tpu.bench.vpu_probe", "subk"),
         "vpu_ablate": mod("gpuseqalign_tpu.bench.vpu_probe", "fullstep",
                           "7", "noacc,noprow,noxcarry,mincarry"),
@@ -113,7 +127,8 @@ def _step_cmds() -> "dict[str, list[str]]":
     }
 
 
-DEFAULT_STEPS = ("validate_wrap", "vpu_subk", "vpu_ablate", "bench",
+DEFAULT_STEPS = ("validate_wrap", "validate_packedx",
+                 "vpu_subk", "vpu_ablate", "bench",
                  "scaling", "stream_ab_seq", "stream_ab_stream",
                  "autotune_nw_lg", "autotune_nw_ag", "autotune_sw_lg",
                  "autotune_sw_ag")
@@ -134,7 +149,7 @@ def run_window(steps: List[str], log_dir: str, step_timeout: int,
             f.write("\n")
 
     for name in steps:
-        if name == "validate_wrap" and _wrap_already_validated():
+        if name in _STEP_FLAGS and _flag_already_set(_STEP_FLAGS[name]):
             print(f"[tpu_window] {name}: SKIP (flag already set)")
             summary["steps"].append({"step": name, "skipped": True})
             flush()

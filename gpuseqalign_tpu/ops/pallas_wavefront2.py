@@ -1295,7 +1295,8 @@ def v2_params_ok(tile_h: int, tile_w: int, rows: int, cols: int) -> bool:
 
 def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
                   affine: bool, is_sw: bool,
-                  capture_cost: bool = False) -> int:
+                  capture_cost: bool = False,
+                  packedx: bool = False) -> int:
     """Analytic VMEM peak of one v2/banded pallas_call — the TPU analog of
     the reference's occupancy-based shared-memory accounting
     (ref: src/nwalign_shared.cpp:5-25). Sums the static scratch_shapes
@@ -1303,8 +1304,9 @@ def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
     """
     i32 = 4
     blk = SUB * 128 * i32
+    nxd = _cdiv(K, 4) if packedx else K  # xds scratch / xwin ref count
     scratch = K * prev_len * i32                     # prevb
-    scratch += 4 * K * blk + K * 128 * i32           # v1s/shps/xds/accs+prows
+    scratch += 3 * K * blk + nxd * blk + K * 128 * i32  # v1/shp/acc/xd+prow
     if affine:
         scratch += K * prev_len * i32                # prevf
         scratch += 3 * K * blk + K * 128 * i32       # e1s/f1s/accEs+prowFs
@@ -1312,7 +1314,7 @@ def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
         scratch += 2 * K * blk                       # bvs/bcs
     if capture_cost:
         scratch += K * blk
-    ins = K * (8 * blk + W * i32)                    # planes + xwin blocks
+    ins = K * 8 * blk + nxd * W * i32                # planes + xwin blocks
     outs = K * (prev_len * i32 + blk)                # hrow + hcol blocks
     if affine:
         outs *= 2                                    # + frow + ecol
@@ -1324,13 +1326,16 @@ def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
 
 
 def v2_regmem_bytes(*, K: int, SUB: int, affine: bool, is_sw: bool,
-                    capture_cost: bool = False) -> int:
+                    capture_cost: bool = False,
+                    packedx: bool = False) -> int:
     """Per-chain carry state held in vector registers across the hot loop
     (the regmem analog of the reference's cudaFuncAttributes register
-    accounting): NCAR (SUB, 128) int32 vectors per chain."""
-    ncar = (5 + (4 if affine else 0) + (2 if is_sw else 0)
-            + (1 if capture_cost else 0))
-    return ncar * K * SUB * 128 * 4
+    accounting): NCAR (SUB, 128) int32 vectors per chain, plus the
+    ceil(K/4) shared byte-packed letter carries under packedx."""
+    ncar = ((4 if packedx else 5) + (4 if affine else 0)
+            + (2 if is_sw else 0) + (1 if capture_cost else 0))
+    shared = _cdiv(K, 4) if packedx else 0
+    return (ncar * K + shared) * SUB * 128 * 4
 
 
 def _is_compile_resource_error(e: Exception) -> bool:
@@ -1433,18 +1438,31 @@ def set_tuned_flag(key: str, value: bool) -> str:
     return path
 
 
-def tuned_defaults(kind: str, gap: str) -> dict:
+def tuned_defaults(kind: str, gap: str, allow_packedx: bool = False) -> dict:
     """Tuned kernel parameters for this device kind and spec.
 
     Read from the autotuner-written cache
     ``resrc/tuned/<device_kind>.json`` (write/update it with
     ``python -m gpuseqalign_tpu.bench.autotune --save-defaults``); falls
     back to the K_MAX_DEFAULT literals when no cache entry exists. Keys:
-    tileBy, tileBx, kChains, _gcups.
+    tileBy, tileBx, kChains, packedx, _gcups.
+
+    ``allow_packedx``: the tuned kChains may only be reachable WITH the
+    shared byte-packed xd streams (packedx frees ~2 vregs/chain-group, so
+    its K_max is higher). Callers that cannot run packedx (the batched /
+    banded / dense kernel forms) must leave it False — they then get the
+    per-chain-xd K_MAX_DEFAULT literal instead of a kChains that would
+    spill registers in their form.
     """
     name = f"{kind}_{'ag' if gap == 'affine' else 'lg'}"
     ent = dict(tuned_cache().get(name, {}))
     ent.setdefault("kChains", K_MAX_DEFAULT[(kind, gap)])
+    ent.setdefault("packedx", 0)
+    if ent["packedx"] and not allow_packedx:
+        ent["kChains"] = min(
+            int(ent["kChains"]), K_MAX_DEFAULT[(kind, gap)]
+        )
+        ent["packedx"] = 0
     return ent
 
 
@@ -1566,11 +1584,14 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     cols = nw.adjcols - 1
     R = tile_h
     TW = tile_w
-    tuned = tuned_defaults(spec.kind.value, spec.gap.value)
+    tuned = tuned_defaults(spec.kind.value, spec.gap.value,
+                           allow_packedx=True)
     W = int(pr.get("winW", 0) or tuned.get("winW", 0) or min(512, TW))
     if TW % W or W % 128:
         W = min(512, TW)
     k_max = int(pr.get("kChains", 0) or tuned["kChains"])
+    px = pr.get("packedx", None)
+    packedx = bool(tuned.get("packedx", 0)) if px is None else bool(px)
     K = choose_k(trows, k_max)
     trows_p = _cdiv(trows, K) * K  # pad row blocks so B % K == 0
     rows_p = trows_p * R
@@ -1595,7 +1616,7 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
                 nw.adjrows, nw.adjcols,
                 R=R, W=W, TW=TW, K=K,
                 kind=spec.kind.value, gap=spec.gap.value,
-                interpret=interpret,
+                interpret=interpret, packedx=packedx,
             )
             jax.block_until_ready(out_d)
             break
@@ -1631,10 +1652,10 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     NSpadv = _cdiv(R + cols_p - 1 + 128, W) * W
     res.shmem_peak_allocs = max(res.shmem_peak_allocs, v2_vmem_bytes(
         K=K, SUB=SUBv, prev_len=NSpadv + 128, W=W,
-        affine=affine, is_sw=is_sw,
+        affine=affine, is_sw=is_sw, packedx=packedx,
     ))
     res.regmem_peak_allocs = max(res.regmem_peak_allocs, v2_regmem_bytes(
-        K=K, SUB=SUBv, affine=affine, is_sw=is_sw,
+        K=K, SUB=SUBv, affine=affine, is_sw=is_sw, packedx=packedx,
     ))
 
     ninf = np.int32(NEG_INF_I32)

@@ -404,8 +404,10 @@ def test_pack_x_streams(rng):
     [
         (300, 900, 128, 128, 128, 2, "nw_lg"),    # wrap engages
         (290, 300, 128, 128, 256, 5, "nw_lg"),    # echelon; two planes
+        (400, 300, 128, 128, 128, 2, "nw_lg"),    # echelon, BB=2 passes
         (300, 900, 128, 128, 128, 2, "sw_ag"),    # wrap + all carries
         (290, 300, 128, 128, 256, 5, "sw_ag"),    # echelon + all carries
+        (400, 300, 128, 128, 128, 2, "sw_ag"),    # echelon, BB=2 passes
     ],
 )
 def test_v2_packedx_matches_base(blosum62, rng, rows, cols, R, W, TW, K,
