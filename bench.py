@@ -43,8 +43,8 @@ GAPO, GAPE = -11, -2
 
 
 def _kernel_params():
-    """(R, W, TW, K, packedx) for the benched spec — from the autotuner
-    cache (resrc/tuned/<device_kind>.json, written by
+    """(R, W, TW, K, packedx, packedef, remath) for the benched spec —
+    from the autotuner cache (resrc/tuned/<device_kind>.json, written by
     `python -m gpuseqalign_tpu.bench.autotune --save-defaults`), with the
     measured v5e literals as fallback."""
     from gpuseqalign_tpu.ops.pallas_wavefront2 import tuned_defaults
@@ -56,11 +56,13 @@ def _kernel_params():
     W = int(ent.get("winW", 0) or min(512, TW))
     if TW % W or W % 128:
         W = min(512, TW)
-    return R, W, TW, K, bool(ent.get("packedx", 0))
+    return (R, W, TW, K, bool(ent.get("packedx", 0)),
+            bool(ent.get("packedef", 0)), bool(ent.get("rematHdr", 0)))
 
 
 # Set in main() from the tuned cache.
-R, W, TW, K, PACKEDX = 2048, 512, 2048, 4, False
+R, W, TW, K, PACKEDX, PACKEDEF, REMATH = 2048, 512, 2048, 4, False, False, \
+    False
 
 # Measured skeleton rooflines (GCUPS/chip on the v5e) at the kernel's own
 # K_max — the sustained rate of the irreducible wavefront step (carry
@@ -69,8 +71,11 @@ R, W, TW, K, PACKEDX = 2048, 512, 2048, 4, False
 ROOFLINE_GCUPS = {
     ("nw", "linear"): 107.8,   # skeleton @ K=6
     ("sw", "linear"): 107.8,
-    ("nw", "affine"): 70.6,    # affine skeleton @ K=4
-    ("sw", "affine"): 70.6,
+    # affine skeleton @ K=6 — the packed E/F delta carries (packedef)
+    # raised the affine K_max from 4 to 6, so the denominator rises from
+    # 70.6 (K=4) with it.
+    ("nw", "affine"): 89.4,
+    ("sw", "affine"): 89.4,
 }
 
 
@@ -122,7 +127,7 @@ def _bench_tpu_v2(subst, seq) -> float:
                 subst, y, x2, gapo, jnp.int32(GAPE),
                 jnp.int32(n + 1), jnp.int32(n + 1),
                 R=R, W=W, TW=TW, K=K, kind=KIND, gap=GAP,
-                packedx=PACKEDX,
+                packedx=PACKEDX, packedef=PACKEDEF, remath=REMATH,
             )
             return out["hrow"][0, 0], None
 
@@ -205,8 +210,8 @@ def main() -> int:
     from gpuseqalign_tpu.core.types import AlgInput, AlgParams, AlgResult, Status
     from gpuseqalign_tpu.models.cpu_algs import align_cpu1_st_row
 
-    global R, W, TW, K, PACKEDX
-    R, W, TW, K, PACKEDX = _kernel_params()
+    global R, W, TW, K, PACKEDX, PACKEDEF, REMATH
+    R, W, TW, K, PACKEDX, PACKEDEF, REMATH = _kernel_params()
     subst, y = _load_fixture()
     on_tpu = tpu_up and jax.default_backend() == "tpu"
     rows = cols = len(y) - 1

@@ -140,8 +140,10 @@ def tune_v2(
     ~26 ms dispatch overhead), each combination here runs m_iters times
     inside one jitted lax.scan with a data-dependent carry and is scored
     by (T(1+m) - T(1)) / m — the bench.py recipe. Every combination is
-    first gated on align_cost parity vs the CPU oracle on a 2048-prefix
-    problem. Returns {"tileBy", "tileBx", "kChains", "_gcups"}.
+    first gated on align_cost parity vs the CPU oracle on a
+    (2*K*R) x 2048 problem — two full groups of row blocks, so the
+    echelon cross-chain dataflow runs at the candidate's actual K.
+    Returns {"tileBy", "tileBx", "kChains", "_gcups", flag keys}.
     """
     import functools
     import jax
@@ -153,20 +155,35 @@ def tune_v2(
     n = len(seq) - 1
     kind, gap = spec.kind.value, spec.gap.value
 
-    # Oracle gate problem (prefix).
-    pref = min(n, 2048)
-    nwo = AlgInput()
-    nwo.subst = subst
-    nwo.substsz = subst.shape[0]
-    nwo.seqY = seq[: 1 + pref].copy()
-    nwo.seqX = seq[: 1 + pref].copy()
-    nwo.adjrows = nwo.adjcols = 1 + pref
-    nwo.gapo_cost, nwo.gape_cost = gapo, gape
-    nwo.spec = spec
-    reso = AlgResult()
-    if align_cpu1_st_row(AlgParams({}), nwo, reso) != Status.success:
-        raise RuntimeError("oracle failed")
-    want = reso.align_cost
+    # Oracle gate problems, keyed by (rows, cols). The gate problem must
+    # span at least TWO groups of K row blocks — a single-row-block
+    # problem silently degrades to K=1 (choose_k) and once let a
+    # multi-chain bug through a whole sweep (round 3, packedef byte
+    # pollution). Cols stay small; the echelon grid + cross-chain
+    # dataflow is what needs exercising.
+    _rng = np.random.default_rng(12345)
+    oracle_cache: Dict = {}
+
+    def gate_problem(gr: int, gc: int):
+        key = (gr, gc)
+        if key not in oracle_cache:
+            y = np.zeros(1 + gr, np.int32)
+            x = np.zeros(1 + gc, np.int32)
+            sz = subst.shape[0]
+            y[1:] = _rng.integers(0, sz, gr)
+            x[1:] = _rng.integers(0, sz, gc)
+            nwo = AlgInput()
+            nwo.subst = subst
+            nwo.substsz = sz
+            nwo.seqY, nwo.seqX = y, x
+            nwo.adjrows, nwo.adjcols = 1 + gr, 1 + gc
+            nwo.gapo_cost, nwo.gape_cost = gapo, gape
+            nwo.spec = spec
+            reso = AlgResult()
+            if align_cpu1_st_row(AlgParams({}), nwo, reso) != Status.success:
+                raise RuntimeError("oracle failed")
+            oracle_cache[key] = (y, x, reso.align_cost)
+        return oracle_cache[key]
 
     grid = dict(grid or DEFAULT_V2_GRID)
     best = None
@@ -178,12 +195,26 @@ def tune_v2(
             if W % 128 or TW % W:
                 continue
             B = -(-n // R)
-            for px, K in (
-                [(0, k) for k in grid.get("kChains", [4])]
-                + [(1, k) for k in (grid.get("kChainsPacked", [])
-                                    if 1 in grid.get("packedx", [0])
-                                    else [])]
-            ):
+            # (packedx, packedef, rematHdr, kChains) combinations: either
+            # the explicit grid["combos"] list of dicts, or the legacy
+            # kChains/packedx/kChainsPacked keys.
+            if "combos" in grid:
+                combos = [
+                    (int(c.get("packedx", 0)), int(c.get("packedef", 0)),
+                     int(c.get("rematHdr", 0)), int(c["kChains"]))
+                    for c in grid["combos"]
+                ]
+            else:
+                combos = (
+                    [(0, 0, 0, k) for k in grid.get("kChains", [4])]
+                    + [(1, 0, 0, k)
+                       for k in (grid.get("kChainsPacked", [])
+                                 if 1 in grid.get("packedx", [0])
+                                 else [])]
+                )
+            for px, pe, rm, K in combos:
+                if pe and gap != "affine":
+                    continue
                 B_p = -(-B // K) * K
                 rows_p = B_p * R
                 cols_p = -(-n // TW) * TW
@@ -197,7 +228,7 @@ def tune_v2(
 
                 @functools.partial(jax.jit, static_argnames=("m",))
                 def loop(subst_j, yj, xj, g0, *, m, R=R, W=W, TW=TW, K=K,
-                         px=px):
+                         px=px, pe=pe, rm=rm):
                     def body(carry, _):
                         # True dependency via X's never-read header
                         # element (a 0*carry pseudo-dependency can be
@@ -207,7 +238,8 @@ def tune_v2(
                             subst_j, yj, xj2, g0, jnp.int32(gape),
                             jnp.int32(n + 1), jnp.int32(n + 1),
                             R=R, W=W, TW=TW, K=K, kind=kind, gap=gap,
-                            packedx=bool(px),
+                            packedx=bool(px), packedef=bool(pe),
+                            remath=bool(rm),
                         )
                         return out["hrow"][0, 0], None
 
@@ -225,41 +257,44 @@ def tune_v2(
                         ts.append(time.time() - t0)
                     return float(np.min(ts))
 
+                tag = f"R={R} TW={TW} W={W} K={K} px={px} pe={pe} rm={rm}"
                 try:
-                    # Correctness gate on the prefix problem.
+                    # Correctness gate: 2*K row blocks so the echelon
+                    # cross-chain dataflow actually runs at this K.
+                    gr, gc = 2 * K * R, min(n, 2048)
+                    gy, gx, want = gate_problem(gr, gc)
                     nwc = AlgInput()
                     nwc.subst = subst
                     nwc.substsz = subst.shape[0]
-                    nwc.seqY, nwc.seqX = nwo.seqY, nwo.seqX
-                    nwc.adjrows = nwc.adjcols = 1 + pref
+                    nwc.seqY, nwc.seqX = gy, gx
+                    nwc.adjrows, nwc.adjcols = 1 + gr, 1 + gc
                     nwc.gapo_cost, nwc.gape_cost = gapo, gape
                     nwc.spec = spec
                     resc = AlgResult()
                     stat = align_mlsp_v2(
                         AlgParams({"tileBy": [R], "tileBx": [TW],
                                    "kChains": [K], "winW": [W],
-                                   "packedx": [px]}),
-                        nwc, resc, R, TW, -(-pref // R), -(-pref // TW),
+                                   "packedx": [px], "packedef": [pe],
+                                   "rematHdr": [rm]}),
+                        nwc, resc, R, TW, gr // R, -(-gc // TW),
                     )
                     if stat != Status.success or resc.align_cost != want:
                         if verbose:
-                            print(f"  R={R} TW={TW} K={K} px={px}: "
-                                  "GATE FAIL", file=sys.stderr)
+                            print(f"  {tag}: GATE FAIL", file=sys.stderr)
                         continue
                     t = (t_of(1 + m_iters) - t_of(1)) / m_iters
                 except Exception as e:
                     if verbose:
-                        print(f"  R={R} TW={TW} K={K} px={px}: "
-                              f"{type(e).__name__}", file=sys.stderr)
+                        print(f"  {tag}: {type(e).__name__}",
+                              file=sys.stderr)
                     continue
                 g = n * n / t / 1e9
                 if verbose:
-                    print(f"  R={R} TW={TW} W={W} K={K} px={px}: "
-                          f"{g:.2f} GCUPS", file=sys.stderr)
+                    print(f"  {tag}: {g:.2f} GCUPS", file=sys.stderr)
                 if best is None or g > best["_gcups"]:
                     best = {"tileBy": R, "tileBx": TW, "kChains": K,
-                            "winW": W, "packedx": px,
-                            "_gcups": round(g, 3)}
+                            "winW": W, "packedx": px, "packedef": pe,
+                            "rematHdr": rm, "_gcups": round(g, 3)}
     if best is None:
         raise RuntimeError("no valid v2 combination")
     return best

@@ -64,7 +64,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                  batch: bool = False, capture_cost: bool = False,
                  banded: bool = False, dense: bool = False,
                  masked: bool = False, wrap: bool = False,
-                 packedx: bool = False):
+                 packedx: bool = False, packedef: bool = False,
+                 remath: bool = False):
     """Kernel factory shared by the full-matrix, batched and BANDED forms.
 
     ``banded`` (the per-device compute of the multi-chip giant engine,
@@ -113,10 +114,31 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
     # share one byte-packed carry fed from a SHARED periodic stream
     # (pack_x_streams); mlsp full-matrix modes only for now.
     assert not (packedx and (batch or banded or dense))
+    # packedef (ROOFLINE "packed E/F carry analog"): carry the affine E/F
+    # state as byte deltas de = H - max(E, H+g), df = H - max(F, H+g)
+    # packed 4 chains per word. EXACT refactoring, not an approximation:
+    # E[i][j+1] = max(E[i][j], H[i][j]+g) + ge = (H[i][j] - de) + ge, so
+    # moving the max to produce-time (delta capture) reproduces the true
+    # E/F bit-exactly while replacing 2 per-chain (SUB,128) carries with
+    # ceil(K/4) shared words (register lever) and collapsing the K
+    # per-chain F shift2+fill rolls into one per word (roll-port lever).
+    # Deltas are byte-safe unconditionally: cell = max(..., E, F) >= E, F
+    # gives de, df in [0, -g] for EVERY lane (junk included); requires
+    # -gapo <= 255 (host wrapper gates).
+    assert not (packedef and (batch or banded or dense))
+    assert not (packedef and not affine)
+    # remath: rematerialize the NW header-injection values (hdrH/dhdr/
+    # ehdr) as per-step scalars instead of K hoisted loop-invariant
+    # (SUB,128) vectors (4-6 vregs/chain). The injected value at the
+    # single matching lane i2d == c is a scalar function of c, so a
+    # per-window base + tt*g scalar add reproduces it exactly. Banded
+    # mode headers come from halo refs — excluded.
+    assert not (remath and banded)
     NSpad = prev_len - 128
     SPB = NSpad // W  # wrap mode: chunks per row block
     BBtot = B // K if K else 1
     npk = _cdiv(K, 4) if packedx else 0
+    npk2 = _cdiv(K, 4) if packedef else 0
 
     def kernel(*refs):
         g_ref = refs[0]
@@ -164,8 +186,14 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
         accs = refs[pos]; pos += 1
         prows = refs[pos]; pos += 1
         if affine:
-            e1s = refs[pos]; pos += 1
-            f1s = refs[pos]; pos += 1
+            if packedef:
+                # Shared byte-packed E/F delta words (npk2, SUB, 128)
+                # in the e1s/f1s scratch slots.
+                des = refs[pos]; pos += 1
+                dfs = refs[pos]; pos += 1
+            else:
+                e1s = refs[pos]; pos += 1
+                f1s = refs[pos]; pos += 1
             accEs = refs[pos]; pos += 1
             prowFs = refs[pos]; pos += 1
         if is_sw:
@@ -216,7 +244,7 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
         # the E recurrence from the halo's (H, E) pair:
         # E[i, c0+1] = max(E[i, c0], H[i, c0] + g) + ge.
         hdrHs, dhdrs, ehdrs = [], [], []
-        for k in range(K):
+        for k in range(K if not remath else 0):
             if banded:
                 hk = hcolin_refs[k][0] if wrap else hcolin[k]
                 dk = dcolin_refs[k][0] if wrap else dcolin[k]
@@ -300,8 +328,15 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     seed = ((blk0 + 1) * R) * g
             prows[k] = jnp.where(l_row == 0, seed, jnp.int32(ninf))
             if affine:
-                e1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
-                f1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
+                if not packedef:
+                    # packedef: no per-chain E/F re-init — the freshly
+                    # re-initialized v1 = ninf dominates e_new/f_new
+                    # (e_new = v1 + ge - de with de in [0,255]), and the
+                    # shared delta words belong to 4 chains whose blocks
+                    # start at different grid steps. Stale bytes feed
+                    # only pre-injection (dead) lanes, like packedx.
+                    e1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
+                    f1s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
                 accEs[k] = jnp.full((SUB, 128), ninf, jnp.int32)
                 prowFs[k] = jnp.full((1, 128), ninf, jnp.int32)
             if is_sw:
@@ -347,7 +382,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
         # Plane words resident for the whole program (8 x (SUB,128) per
         # chain): the per-lane substitution row, biased bytes.
         planes = [[planes_refs[k][0, p] for p in range(8)] for k in range(K)]
-        NCAR = ((4 if packedx else 5) + (4 if affine else 0)
+        NCAR = ((4 if packedx else 5)
+                + ((2 if packedef else 4) if affine else 0)
                 + (2 if is_sw else 0)
                 + (1 if capture_cost else 0))
 
@@ -385,6 +421,54 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     ]
                 pws.append(ent)
 
+            if packedef:
+                # Packed F fill-delta windows: byte q of word p is chain
+                # 4p+q's min(prevH - prevF, -g) stream. Rolls commute
+                # with the elementwise min/pack, so ONE roll + shift2 of
+                # the packed word per step replaces the K per-chain
+                # fillF rolls + shF shift2s. prevF <= prevH at real
+                # cells keeps the delta in [0, -g]; the header row's
+                # prevF = NEG_INF (-2^30) leaves the subtraction far
+                # from int32 wrap before the min clamps it to -g.
+                pwds = []
+                for p in range(npk2):
+                    w0 = w1 = None
+                    for qq in range(4):
+                        kk = 4 * p + qq
+                        if kk >= K:
+                            break
+                        # clip, not min: a chain's drain-phase windows
+                        # read uninitialized prevb/prevf tail scratch,
+                        # and a negative junk delta OR-packed into the
+                        # shared word would pollute OTHER chains' bytes
+                        # (at real lanes prevH - prevF >= 0, so the
+                        # lower clamp never fires there).
+                        d0 = jnp.clip(pws[kk][0] - pws[kk][2], 0, -g)
+                        d1 = jnp.clip(pws[kk][1] - pws[kk][3], 0, -g)
+                        if qq:
+                            w0 = w0 | (d0 << (8 * qq))
+                            w1 = w1 | (d1 << (8 * qq))
+                        else:
+                            w0, w1 = d0, d1
+                    pwds.append((w0, w1))
+            if remath and not is_sw:
+                # Scalar header bases: the injected value at the single
+                # matching lane i2d == c is a scalar function of
+                # c = clocs[k] + tt, so one per-window base + a shared
+                # tt*g(e) scalar add per step replaces the per-chain
+                # loop-invariant header vectors (4-6 vregs/chain).
+                if affine:
+                    e0s = [g + (1 + blks[k] * R + clocs[k]) * ge + g + ge
+                           for k in range(K)]
+                    d0s = [g + (blks[k] * R + clocs[k]) * ge
+                           for k in range(K)]
+                    dzs = [blks[k] * R + clocs[k] for k in range(K)]
+                    h0s = None
+                else:
+                    h0s = [(1 + blks[k] * R + clocs[k]) * g
+                           for k in range(K)]
+                    d0s = [h0s[k] - g for k in range(K)]
+
             for tt in range(128):
                 if packedx:
                     # One shift register per 4 chains: a single fill roll
@@ -395,6 +479,19 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                             if tt else xws[p]
                         )
                         vs[NCAR * K + p] = shift2(vs[NCAR * K + p], fillp)
+                if packedef:
+                    # One packed F-delta shift register per 4 chains
+                    # (F crosses rows, so df shifts lanes like f1 did).
+                    for p in range(npk2):
+                        dfill = (
+                            pwds[p][1] if tt == 127
+                            else pltpu.roll(pwds[p][0], 127 - tt, axis=1)
+                        )
+                        slot = NCAR * K + npk + npk2 + p
+                        vs[slot] = shift2(vs[slot], dfill)
+                if remath:
+                    tg = jnp.int32(0) if tt == 0 else g * tt
+                    tge = jnp.int32(0) if tt == 0 else ge * tt
                 for k in range(K):
                     st = vs[NCAR * k: NCAR * (k + 1)]
                     if packedx:
@@ -404,8 +501,12 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         v1, sh1p, xd, acc, prow = st[:5]
                         nhdr = 5
                     if affine:
-                        e1, f1, accE, prowF = st[nhdr:nhdr + 4]
-                    nbase = nhdr + (4 if affine else 0)
+                        if packedef:
+                            accE, prowF = st[nhdr:nhdr + 2]
+                        else:
+                            e1, f1, accE, prowF = st[nhdr:nhdr + 4]
+                    naff = (2 if packedef else 4) if affine else 0
+                    nbase = nhdr + naff
                     if is_sw:
                         bv, bc = st[nbase], st[nbase + 1]
                     if capture_cost:
@@ -449,7 +550,30 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     sh1 = shift2(v1, fill1)  # lane0 <- prevH[c+1]
                     # sh1p (last step's sh1) has lane0 == prevH[c] — exactly
                     # the diagonal operand's header fill.
-                    diag = jnp.where(i2d == c, dhdrs[k], sh1p)
+                    if remath:
+                        # Scalar header rematerialization: identical
+                        # values to the hoisted vectors at the one lane
+                        # the select reads (i2d == c).
+                        if is_sw:
+                            dh = jnp.int32(0)
+                            hh = jnp.int32(0)
+                            eh = g + ge
+                        elif affine:
+                            dh = jnp.where(
+                                dzs[k] == -tt, jnp.int32(0),
+                                d0s[k] + tge,
+                            )
+                            eh = e0s[k] + tge
+                        else:
+                            dh = d0s[k] + tg
+                            hh = h0s[k] + tg
+                    else:
+                        dh = dhdrs[k]
+                        if affine:
+                            eh = ehdrs[k]
+                        else:
+                            hh = hdrHs[k]
+                    diag = jnp.where(i2d == c, dh, sh1p)
                     # NO blanket validity mask in production (measured ~4
                     # vector ops/step saved): dead lanes — ahead of the
                     # wavefront (i2d > c) or past the matrix width
@@ -471,13 +595,35 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     if masked:
                         valid = (i2d <= c) & (i2d > c - cols_p)
                     if not affine:
-                        left = jnp.where(i2d == c, hdrHs[k], v1)
+                        left = jnp.where(i2d == c, hh, v1)
                         cell = jnp.maximum(
                             diag + s, jnp.maximum(sh1, left) + g
                         )
+                    elif packedef:
+                        # E/F as packed byte deltas off the H carries —
+                        # exact: de = v1 - max(e1, v1+g) so
+                        # e_new = max(e1, v1+g) + ge = v1 - de + ge, and
+                        # the F algebra rides sh1 (shift2 distributes
+                        # over the subtraction; see the factory doc).
+                        de = vs[NCAR * K + npk + k // 4]
+                        if k % 4:
+                            de = de >> ((k % 4) * 8)
+                        de = de & 255
+                        e_new = v1 + ge - de
+                        e_new = jnp.where(i2d == c, eh, e_new)
+                        dfw = vs[NCAR * K + npk + npk2 + k // 4]
+                        if k % 4:
+                            dfw = dfw >> ((k % 4) * 8)
+                        f_new = sh1 + ge - (dfw & 255)
+                        cell = jnp.maximum(
+                            diag + s, jnp.maximum(e_new, f_new)
+                        )
+                        if masked:
+                            e_new = jnp.where(valid, e_new, ninf)
+                            f_new = jnp.where(valid, f_new, ninf)
                     else:
                         e_new = jnp.maximum(e1, v1 + g) + ge
-                        e_new = jnp.where(i2d == c, ehdrs[k], e_new)
+                        e_new = jnp.where(i2d == c, eh, e_new)
                         fillF = (
                             pws[k][3] if tt == 127
                             else pltpu.roll(pws[k][2], 127 - tt, axis=1)
@@ -494,6 +640,25 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         cell = jnp.maximum(cell, 0)
                     if masked:
                         cell = jnp.where(valid, cell, ninf)
+                    if packedef:
+                        # Produce-time clamp. clip, not min: cell >=
+                        # e_new/f_new holds structurally (cell is their
+                        # max) so real lanes are already in [0, -g],
+                        # but junk-lane subtractions can WRAP int32
+                        # negative and a negative byte OR-packed into
+                        # the shared word would pollute other chains'
+                        # live bytes.
+                        de_new = jnp.clip(cell - e_new, 0, -g)
+                        df_new = jnp.clip(cell - f_new, 0, -g)
+                        qq = k % 4
+                        if qq == 0:
+                            newde, newdf = de_new, df_new
+                        else:
+                            newde = newde | (de_new << (8 * qq))
+                            newdf = newdf | (df_new << (8 * qq))
+                        if qq == 3 or k == K - 1:
+                            vs[NCAR * K + npk + k // 4] = newde
+                            vs[NCAR * K + npk + npk2 + k // 4] = newdf
 
                     blk = blks[k]
                     if is_sw:
@@ -566,7 +731,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     st = ([cell, sh1, acc, prow] if packedx
                           else [cell, sh1, xd, acc, prow])
                     if affine:
-                        st += [e_new, f_new, accE, prowF]
+                        st += ([accE, prowF] if packedef
+                               else [e_new, f_new, accE, prowF])
                     if is_sw:
                         st += [bv, bc]
                     if capture_cost:
@@ -581,16 +747,20 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
             else:
                 init += [v1s[k], shps[k], xds[k], accs[k], prows[k]]
             if affine:
-                init += [e1s[k], f1s[k], accEs[k], prowFs[k]]
+                init += ([accEs[k], prowFs[k]] if packedef
+                         else [e1s[k], f1s[k], accEs[k], prowFs[k]])
             if is_sw:
                 init += [bvs[k], bcs[k]]
             if capture_cost:
                 init += [costs_s[k]]
         if packedx:
             init += [xds[p] for p in range(npk)]
+        if packedef:
+            init += [des[p] for p in range(npk2)]
+            init += [dfs[p] for p in range(npk2)]
         out = jax.lax.fori_loop(0, n_win, window_body, tuple(init))
         nhdr = 4 if packedx else 5
-        nbase = nhdr + (4 if affine else 0)
+        nbase = nhdr + ((2 if packedef else 4) if affine else 0)
         for k in range(K):
             st = out[NCAR * k: NCAR * (k + 1)]
             v1s[k] = st[0]
@@ -603,10 +773,14 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                 accs[k] = st[3]
                 prows[k] = st[4]
             if affine:
-                e1s[k] = st[nhdr]
-                f1s[k] = st[nhdr + 1]
-                accEs[k] = st[nhdr + 2]
-                prowFs[k] = st[nhdr + 3]
+                if packedef:
+                    accEs[k] = st[nhdr]
+                    prowFs[k] = st[nhdr + 1]
+                else:
+                    e1s[k] = st[nhdr]
+                    f1s[k] = st[nhdr + 1]
+                    accEs[k] = st[nhdr + 2]
+                    prowFs[k] = st[nhdr + 3]
             if is_sw:
                 bvs[k] = st[nbase]
                 bcs[k] = st[nbase + 1]
@@ -615,6 +789,10 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
         if packedx:
             for p in range(npk):
                 xds[p] = out[NCAR * K + p]
+        if packedef:
+            for p in range(npk2):
+                des[p] = out[NCAR * K + npk + p]
+                dfs[p] = out[NCAR * K + npk + npk2 + p]
 
         if wrap:
             # Per-chain output flush at the chain's block END (the out
@@ -730,11 +908,12 @@ def wrap_interleave(parts, BBtot: int, K: int, tail: tuple):
 @functools.partial(
     jax.jit,
     static_argnames=("R", "W", "TW", "K", "kind", "gap", "interpret",
-                     "packedx"),
+                     "packedx", "packedef", "remath"),
 )
 def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
                    TW: int, K: int, kind: str = "nw", gap: str = "linear",
-                   interpret: bool = False, packedx: bool = False):
+                   interpret: bool = False, packedx: bool = False,
+                   packedef: bool = False, remath: bool = False):
     """Sparse fill v2 for any spec. Returns a dict:
 
     hrow: (B, prev_len)         row (b+1)*R of H (indexed by global j)
@@ -744,7 +923,10 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
                                 step c of its first occurrence
 
     Requires rows_p % (K*R) == 0, cols_p % TW == 0, TW % W == 0, TW >= R,
-    W % 128 == 0; affine requires gapo <= 0, gape <= 0.
+    W % 128 == 0; affine requires gapo <= 0, gape <= 0. ``packedef``
+    (affine only) additionally requires -gapo <= 255 (byte-packed E/F
+    deltas — see the _make_kernel doc); outputs are bit-identical.
+    ``remath`` rematerializes the header-injection values as scalars.
     """
     rows_p = Y.shape[0] - 1
     cols_p = X.shape[0] - 1
@@ -783,12 +965,15 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
     else:
         grid = (BB, CH)
 
+    packedef = packedef and gap == "affine"
     kernel, q, _ = _make_kernel(
         K=K, SUB=SUB, W=W, CH=CH, cols_p=cols_p, R=R, TW=TW, OFF=OFF,
         prev_len=prev_len, B=B, kind=kind, gap=gap,
         masked=interpret, wrap=use_wrap, packedx=packedx,
+        packedef=packedef, remath=remath,
     )
     npk = _cdiv(K, 4) if packedx else 0
+    npk2 = _cdiv(K, 4) if packedef else 0
     if packedx:
         # Shared byte-packed letter streams (ROOFLINE agenda #1): one ref
         # per 4 chains, periodic mod NSpad, indexed by (ch mod SPB).
@@ -909,8 +1094,9 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
     ]
     if affine:
         scratch += [
-            pltpu.VMEM((K, SUB, 128), jnp.int32),  # e1s
-            pltpu.VMEM((K, SUB, 128), jnp.int32),  # f1s
+            # e1s/f1s, or the shared packed delta words under packedef
+            pltpu.VMEM(((npk2 or K), SUB, 128), jnp.int32),
+            pltpu.VMEM(((npk2 or K), SUB, 128), jnp.int32),
             pltpu.VMEM((K, SUB, 128), jnp.int32),  # accEs
             pltpu.VMEM((K, 1, 128), jnp.int32),    # prowFs
         ]
@@ -1296,7 +1482,7 @@ def v2_params_ok(tile_h: int, tile_w: int, rows: int, cols: int) -> bool:
 def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
                   affine: bool, is_sw: bool,
                   capture_cost: bool = False,
-                  packedx: bool = False) -> int:
+                  packedx: bool = False, packedef: bool = False) -> int:
     """Analytic VMEM peak of one v2/banded pallas_call — the TPU analog of
     the reference's occupancy-based shared-memory accounting
     (ref: src/nwalign_shared.cpp:5-25). Sums the static scratch_shapes
@@ -1308,8 +1494,9 @@ def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
     scratch = K * prev_len * i32                     # prevb
     scratch += 3 * K * blk + nxd * blk + K * 128 * i32  # v1/shp/acc/xd+prow
     if affine:
+        nef = 2 * (_cdiv(K, 4) if packedef else K)   # e1s/f1s or de/df words
         scratch += K * prev_len * i32                # prevf
-        scratch += 3 * K * blk + K * 128 * i32       # e1s/f1s/accEs+prowFs
+        scratch += (nef + K) * blk + K * 128 * i32   # +accEs+prowFs
     if is_sw:
         scratch += 2 * K * blk                       # bvs/bcs
     if capture_cost:
@@ -1327,14 +1514,17 @@ def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
 
 def v2_regmem_bytes(*, K: int, SUB: int, affine: bool, is_sw: bool,
                     capture_cost: bool = False,
-                    packedx: bool = False) -> int:
+                    packedx: bool = False, packedef: bool = False) -> int:
     """Per-chain carry state held in vector registers across the hot loop
     (the regmem analog of the reference's cudaFuncAttributes register
     accounting): NCAR (SUB, 128) int32 vectors per chain, plus the
-    ceil(K/4) shared byte-packed letter carries under packedx."""
-    ncar = ((4 if packedx else 5) + (4 if affine else 0)
+    ceil(K/4) shared byte-packed letter carries under packedx and the
+    2*ceil(K/4) shared E/F delta words under packedef."""
+    ncar = ((4 if packedx else 5)
+            + ((2 if packedef else 4) if affine else 0)
             + (2 if is_sw else 0) + (1 if capture_cost else 0))
-    shared = _cdiv(K, 4) if packedx else 0
+    shared = (_cdiv(K, 4) if packedx else 0) \
+        + (2 * _cdiv(K, 4) if packedef else 0)
     return (ncar * K + shared) * SUB * 128 * 4
 
 
@@ -1458,11 +1648,16 @@ def tuned_defaults(kind: str, gap: str, allow_packedx: bool = False) -> dict:
     ent = dict(tuned_cache().get(name, {}))
     ent.setdefault("kChains", K_MAX_DEFAULT[(kind, gap)])
     ent.setdefault("packedx", 0)
-    if ent["packedx"] and not allow_packedx:
+    ent.setdefault("packedef", 0)
+    ent.setdefault("rematHdr", 0)
+    if not allow_packedx and (ent["packedx"] or ent["packedef"]
+                              or ent["rematHdr"]):
+        # packedef/rematHdr share packedx's constraint: full-matrix mlsp
+        # kernel forms only.
         ent["kChains"] = min(
             int(ent["kChains"]), K_MAX_DEFAULT[(kind, gap)]
         )
-        ent["packedx"] = 0
+        ent["packedx"] = ent["packedef"] = ent["rematHdr"] = 0
     return ent
 
 
@@ -1592,6 +1787,12 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     k_max = int(pr.get("kChains", 0) or tuned["kChains"])
     px = pr.get("packedx", None)
     packedx = bool(tuned.get("packedx", 0)) if px is None else bool(px)
+    pe = pr.get("packedef", None)
+    packedef = bool(tuned.get("packedef", 0)) if pe is None else bool(pe)
+    # packedef needs byte-ranged E/F deltas: 0 <= -gapo <= 255.
+    packedef = packedef and affine and -255 <= nw.gapo_cost <= 0
+    rm = pr.get("rematHdr", None)
+    remath = bool(tuned.get("rematHdr", 0)) if rm is None else bool(rm)
     K = choose_k(trows, k_max)
     trows_p = _cdiv(trows, K) * K  # pad row blocks so B % K == 0
     rows_p = trows_p * R
@@ -1617,6 +1818,7 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
                 R=R, W=W, TW=TW, K=K,
                 kind=spec.kind.value, gap=spec.gap.value,
                 interpret=interpret, packedx=packedx,
+                packedef=packedef, remath=remath,
             )
             jax.block_until_ready(out_d)
             break
@@ -1652,10 +1854,11 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     NSpadv = _cdiv(R + cols_p - 1 + 128, W) * W
     res.shmem_peak_allocs = max(res.shmem_peak_allocs, v2_vmem_bytes(
         K=K, SUB=SUBv, prev_len=NSpadv + 128, W=W,
-        affine=affine, is_sw=is_sw, packedx=packedx,
+        affine=affine, is_sw=is_sw, packedx=packedx, packedef=packedef,
     ))
     res.regmem_peak_allocs = max(res.regmem_peak_allocs, v2_regmem_bytes(
         K=K, SUB=SUBv, affine=affine, is_sw=is_sw, packedx=packedx,
+        packedef=packedef,
     ))
 
     ninf = np.int32(NEG_INF_I32)

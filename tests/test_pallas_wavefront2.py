@@ -441,3 +441,58 @@ def test_v2_packedx_matches_base(blosum62, rng, rows, cols, R, W, TW, K,
     for key in base:
         np.testing.assert_array_equal(
             np.asarray(base[key]), np.asarray(packed[key]), err_msg=key)
+
+
+@pytest.mark.parametrize(
+    "rows,cols,R,W,TW,K,spec_name,flags",
+    [
+        # packedef: packed E/F byte deltas — an exact refactoring of the
+        # affine carries (see the _make_kernel packedef doc), so FULL
+        # output arrays must match base in masked/interpret mode.
+        (300, 900, 128, 128, 128, 2, "nw_ag", dict(packedef=True)),
+        (290, 300, 128, 128, 256, 5, "sw_ag", dict(packedef=True)),
+        (400, 300, 128, 128, 128, 2, "sw_ag", dict(packedef=True)),
+        # remath: scalar header rematerialization, all header shapes
+        # (NW linear, NW affine, SW linear, SW affine).
+        (300, 900, 128, 128, 128, 2, "nw_lg", dict(remath=True)),
+        (290, 300, 128, 128, 256, 5, "nw_ag", dict(remath=True)),
+        (400, 300, 128, 128, 128, 2, "sw_lg", dict(remath=True)),
+        (300, 900, 128, 128, 128, 2, "sw_ag", dict(remath=True)),
+        # the full register-lever stack, both grid modes
+        (300, 900, 128, 128, 128, 2, "nw_ag",
+         dict(packedx=True, packedef=True, remath=True)),
+        (290, 300, 128, 128, 256, 5, "sw_ag",
+         dict(packedx=True, packedef=True, remath=True)),
+    ],
+)
+def test_v2_packedef_remath_matches_base(blosum62, rng, rows, cols, R, W,
+                                         TW, K, spec_name, flags):
+    """packedef (shared byte-packed E/F delta carries) and remath
+    (scalar header rematerialization) must be bit-identical to the base
+    kernel in every output stream, in both grid modes."""
+    from gpuseqalign_tpu.ops.pallas_wavefront2 import pallas_mlsp_v2
+
+    spec = AlignSpec.from_name(spec_name)
+    gapo, gape = -11, (-2 if spec.gap.value == "affine" else 0)
+    y = random_seq(rng, rows)
+    x = random_seq(rng, cols)
+    rows_p = _pad_to(rows, K * R)
+    cols_p = _pad_to(cols, TW)
+    yp = np.zeros(1 + rows_p, np.int32)
+    yp[: 1 + rows] = y
+    xp = np.zeros(1 + cols_p, np.int32)
+    xp[: 1 + cols] = x
+
+    kw = dict(R=R, W=W, TW=TW, K=K, kind=spec.kind.value,
+              gap=spec.gap.value, interpret=True)
+    base = pallas_mlsp_v2(
+        blosum62, jnp.asarray(yp), jnp.asarray(xp),
+        jnp.int32(gapo), jnp.int32(gape), 1 + rows, 1 + cols, **kw)
+    new = pallas_mlsp_v2(
+        blosum62, jnp.asarray(yp), jnp.asarray(xp),
+        jnp.int32(gapo), jnp.int32(gape), 1 + rows, 1 + cols,
+        **flags, **kw)
+    assert set(base.keys()) == set(new.keys())
+    for key in base:
+        np.testing.assert_array_equal(
+            np.asarray(base[key]), np.asarray(new[key]), err_msg=key)
