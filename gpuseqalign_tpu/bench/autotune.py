@@ -121,6 +121,29 @@ DEFAULT_V2_GRID = {
     # K=7/8 past the spill cliff) — so it sweeps its own, higher K range.
     "packedx": [0, 1],
     "kChainsPacked": [5, 6, 7, 8],
+    # Round-3 flag combos (see ROOFLINE.md agenda #3): remath for the
+    # linear specs, packedef(+remath) for affine (raises affine K_max to
+    # 6). Kept in the default grid so an autotune refresh can only
+    # REPLACE the tuned defaults with configurations at least as good.
+    "combos_extra": [
+        {"kChains": 6, "packedx": 1, "rematHdr": 1},
+        {"kChains": 4, "packedx": 1, "rematHdr": 1},
+        {"kChains": 6, "packedx": 1, "packedef": 1},
+        {"kChains": 6, "packedx": 1, "packedef": 1, "rematHdr": 1},
+        {"kChains": 4, "packedx": 1, "packedef": 1, "rematHdr": 1},
+        # noBc (SW only — skipped for NW specs): drop the bc carry
+        # (value-only argmax, host column recovery); frees one
+        # (SUB,128) vreg/chain past the one-vreg-wide spill cliff and
+        # two selects/step, so it sweeps K one past each base K_max.
+        {"kChains": 6, "packedx": 1, "rematHdr": 1, "noBc": 1},
+        {"kChains": 7, "packedx": 1, "rematHdr": 1, "noBc": 1},
+        {"kChains": 4, "packedx": 1, "packedef": 1, "rematHdr": 1,
+         "noBc": 1},
+        {"kChains": 6, "packedx": 1, "packedef": 1, "rematHdr": 1,
+         "noBc": 1},
+        {"kChains": 5, "packedx": 1, "packedef": 1, "rematHdr": 1,
+         "noBc": 1},
+    ],
 }
 
 
@@ -201,19 +224,27 @@ def tune_v2(
             if "combos" in grid:
                 combos = [
                     (int(c.get("packedx", 0)), int(c.get("packedef", 0)),
-                     int(c.get("rematHdr", 0)), int(c["kChains"]))
+                     int(c.get("rematHdr", 0)), int(c.get("noBc", 0)),
+                     int(c["kChains"]))
                     for c in grid["combos"]
                 ]
             else:
                 combos = (
-                    [(0, 0, 0, k) for k in grid.get("kChains", [4])]
-                    + [(1, 0, 0, k)
+                    [(0, 0, 0, 0, k) for k in grid.get("kChains", [4])]
+                    + [(1, 0, 0, 0, k)
                        for k in (grid.get("kChainsPacked", [])
                                  if 1 in grid.get("packedx", [0])
                                  else [])]
+                    + [(int(c.get("packedx", 0)),
+                        int(c.get("packedef", 0)),
+                        int(c.get("rematHdr", 0)),
+                        int(c.get("noBc", 0)), int(c["kChains"]))
+                       for c in grid.get("combos_extra", [])]
                 )
-            for px, pe, rm, K in combos:
+            for px, pe, rm, nb, K in combos:
                 if pe and gap != "affine":
+                    continue
+                if nb and kind != "sw":
                     continue
                 B_p = -(-B // K) * K
                 rows_p = B_p * R
@@ -228,7 +259,7 @@ def tune_v2(
 
                 @functools.partial(jax.jit, static_argnames=("m",))
                 def loop(subst_j, yj, xj, g0, *, m, R=R, W=W, TW=TW, K=K,
-                         px=px, pe=pe, rm=rm):
+                         px=px, pe=pe, rm=rm, nb=nb):
                     def body(carry, _):
                         # True dependency via X's never-read header
                         # element (a 0*carry pseudo-dependency can be
@@ -239,7 +270,7 @@ def tune_v2(
                             jnp.int32(n + 1), jnp.int32(n + 1),
                             R=R, W=W, TW=TW, K=K, kind=kind, gap=gap,
                             packedx=bool(px), packedef=bool(pe),
-                            remath=bool(rm),
+                            remath=bool(rm), nobc=bool(nb),
                         )
                         return out["hrow"][0, 0], None
 
@@ -257,7 +288,8 @@ def tune_v2(
                         ts.append(time.time() - t0)
                     return float(np.min(ts))
 
-                tag = f"R={R} TW={TW} W={W} K={K} px={px} pe={pe} rm={rm}"
+                tag = (f"R={R} TW={TW} W={W} K={K} px={px} pe={pe} "
+                       f"rm={rm} nb={nb}")
                 try:
                     # Correctness gate: 2*K row blocks so the echelon
                     # cross-chain dataflow actually runs at this K.
@@ -275,7 +307,7 @@ def tune_v2(
                         AlgParams({"tileBy": [R], "tileBx": [TW],
                                    "kChains": [K], "winW": [W],
                                    "packedx": [px], "packedef": [pe],
-                                   "rematHdr": [rm]}),
+                                   "rematHdr": [rm], "noBc": [nb]}),
                         nwc, resc, R, TW, gr // R, -(-gc // TW),
                     )
                     if stat != Status.success or resc.align_cost != want:
@@ -294,7 +326,8 @@ def tune_v2(
                 if best is None or g > best["_gcups"]:
                     best = {"tileBy": R, "tileBx": TW, "kChains": K,
                             "winW": W, "packedx": px, "packedef": pe,
-                            "rematHdr": rm, "_gcups": round(g, 3)}
+                            "rematHdr": rm, "noBc": nb,
+                            "_gcups": round(g, 3)}
     if best is None:
         raise RuntimeError("no valid v2 combination")
     return best

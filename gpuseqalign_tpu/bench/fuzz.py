@@ -91,6 +91,13 @@ def _gen_case(seed: int, case: int) -> dict:
         "giantBy": 128 * int(rng.integers(1, 3)),
         "giantBx": 128 * int(rng.integers(1, 3)),
         "giantK": int(rng.integers(1, 3)),
+        # Banded register levers, drawn independently (packedef is
+        # ignored by non-affine specs inside banded_pass).
+        "giantFlags": {
+            k: [1]
+            for k in ("packedx", "packedef", "rematHdr")
+            if int(rng.integers(0, 2))
+        },
     }
 
 
@@ -112,6 +119,7 @@ def _run_alg(alg, alg_name: str, case: dict):
             "tileBy": [case["giantBy"]],
             "tileBx": [case["giantBx"]],
             "kChains": [case["giantK"]],
+            **case.get("giantFlags", {}),
         })
     else:
         params = AlgParams({

@@ -1,0 +1,117 @@
+"""Giant-regime A/B of the banded register levers (real TPU, D=1).
+
+validate_banded_flags_tpu establishes bit-exactness at 23728^2, but at
+that size the giant engine is overhead-dominated (~40 ms total vs ~12 ms
+of kernel), so kernel-level levers wash out. This drive re-times base vs
+flags at the engine's actual regime — a 98304^2 pair (9.7 Tcell) — where
+the fill dominates, and:
+
+  - cross-checks the two configs' FULL output surfaces bit-equal
+    (align_cost + every header mat; base was oracle-validated at
+    23728^2, so equality transfers correctness), and
+  - updates the tuned cache's per-spec ``banded`` sub-entry when the
+    flags config wins at this regime.
+
+Usage:  python -m gpuseqalign_tpu.bench.giant_ab_tpu [rows]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+SPECS = ("nw_lg", "sw_lg", "nw_ag", "sw_ag")
+
+
+def flag_cand(spec_name: str) -> dict:
+    if spec_name.endswith("lg"):
+        return dict(kChains=6, packedx=1, rematHdr=1)
+    return dict(kChains=4, packedx=1, packedef=1, rematHdr=1)
+
+
+def main(argv) -> int:
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print("giant_ab_tpu requires a real TPU backend", file=sys.stderr)
+        return 1
+
+    from ..core.types import AlgInput, AlgParams, AlgResult, AlignSpec, \
+        Status
+    from ..ops.pallas_wavefront2 import tuned_cache
+    from ..parallel.giant2 import align_giant2
+    from ..parallel.mesh import make_mesh
+    from .autotune import save_defaults
+
+    rows = int(argv[1]) if len(argv) > 1 else 98304
+    cols = rows
+    rng = np.random.default_rng(31)
+    subst = rng.integers(-4, 10, size=(25, 25)).astype(np.int32)
+    mesh = make_mesh(axis_name="sp")
+    y = np.zeros(1 + rows, np.int32)
+    x = np.zeros(1 + cols, np.int32)
+    y[1:] = rng.integers(0, 25, rows)
+    x[1:] = rng.integers(0, 25, cols)
+
+    failures = 0
+    for spec_name in SPECS:
+        spec = AlignSpec.from_name(spec_name)
+        gapo, gape = -11, (-2 if spec.gap.value == "affine" else 0)
+        base_k = 6 if spec_name.endswith("lg") else 4
+
+        def run(cand):
+            nw = AlgInput()
+            nw.subst = subst
+            nw.substsz = subst.shape[0]
+            nw.seqY, nw.seqX = y, x
+            nw.adjrows, nw.adjcols = len(y), len(x)
+            nw.gapo_cost, nw.gape_cost = gapo, gape
+            nw.spec = spec
+            params = {"tileBy": [2048], "tileBx": [2048],
+                      **{k: [v] for k, v in cand.items()}}
+            outs = []
+            for _ in range(2):  # first call compiles; time the second
+                res = AlgResult()
+                stat = align_giant2(AlgParams(params), nw, res, mesh=mesh)
+                if stat != Status.success:
+                    return None, None, float("nan")
+                outs.append(res)
+            calc_ms = outs[1].sw_align.get_or_default("align.calc")
+            gcups = rows * cols / (calc_ms / 1e3) / 1e9
+            return nw, outs[1], gcups
+
+        nb, rb, g_base = run({"kChains": base_k})
+        nf, rf, g_flag = run(flag_cand(spec_name))
+        if rb is None or rf is None:
+            print(f"FAIL {spec_name}: a config did not run")
+            failures += 1
+            continue
+        same = (rb.align_cost == rf.align_cost
+                and all(np.array_equal(nb.__dict__[m], nf.__dict__[m])
+                        for m in ("tileHrowMat", "tileHcolMat")
+                        if nb.__dict__.get(m) is not None))
+        for m in ("tileFrowMat", "tileEcolMat"):
+            a, b = nb.__dict__.get(m), nf.__dict__.get(m)
+            if a is not None or b is not None:
+                same = same and np.array_equal(a, b)
+        verdict = "bit-equal" if same else "MISMATCH"
+        print(f"{spec_name}: base {g_base:.2f} GCUPS vs flags "
+              f"{g_flag:.2f} GCUPS [{verdict}] at {rows}x{cols}")
+        if not same:
+            failures += 1
+            continue
+        cand = flag_cand(spec_name) if g_flag > g_base \
+            else {"kChains": base_k}
+        gc = max(g_flag, g_base)
+        ent = dict(tuned_cache().get(spec_name, {}))
+        ent["banded"] = {**cand, "_gcups": round(gc, 3),
+                         "_at_rows": rows}
+        path = save_defaults(ent, spec_name)
+        print(f"{spec_name}: banded default {ent['banded']} -> {path}")
+
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

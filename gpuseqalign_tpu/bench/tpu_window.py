@@ -22,6 +22,15 @@ Steps (the ROADMAP queue; subset with --steps):
                  kernel at the tuned geometry (bench/
                  validate_packedx_tpu.py) — persists/skips on the
                  `packedx_tpu_validated` flag likewise
+  validate_flags / validate_banded_flags / validate_tiny
+                 on-chip differentials for the tuned register-lever
+                 configs (full-matrix / banded giant / tiny-pair batch);
+                 flags `flags_tpu_validated`, `banded_flags_tpu_
+                 validated`, `tiny_tpu_validated`. After ANY kernel
+                 change pass --force so set flags don't skip them.
+  giant_ab       banded register-lever A/B at the giant regime
+                 (98304^2, D=1) — re-tunes the per-spec `banded`
+                 sub-entries
   vpu_subk       register-spill ablation: skeleton GCUPS vs carry height
   vpu_ablate     fullstep K=7 carry ablations (noacc/noprow/noxcarry/
                  mincarry) — which carry must shrink for one more chain
@@ -89,6 +98,9 @@ def _flag_already_set(flag: str, timeout_s: int = 180) -> bool:
 _STEP_FLAGS = {
     "validate_wrap": "wrap_tpu_validated",
     "validate_packedx": "packedx_tpu_validated",
+    "validate_flags": "flags_tpu_validated",
+    "validate_banded_flags": "banded_flags_tpu_validated",
+    "validate_tiny": "tiny_tpu_validated",
 }
 
 
@@ -99,6 +111,12 @@ def _step_cmds() -> "dict[str, list[str]]":
         "validate_wrap": mod("gpuseqalign_tpu.bench.validate_wrap_tpu"),
         "validate_packedx": mod(
             "gpuseqalign_tpu.bench.validate_packedx_tpu"),
+        "validate_flags": mod(
+            "gpuseqalign_tpu.bench.validate_flags_tpu"),
+        "validate_banded_flags": mod(
+            "gpuseqalign_tpu.bench.validate_banded_flags_tpu"),
+        "validate_tiny": mod("gpuseqalign_tpu.bench.validate_tiny_tpu"),
+        "giant_ab": mod("gpuseqalign_tpu.bench.giant_ab_tpu"),
         "vpu_subk": mod("gpuseqalign_tpu.bench.vpu_probe", "subk"),
         "vpu_ablate": mod("gpuseqalign_tpu.bench.vpu_probe", "fullstep",
                           "7", "noacc,noprow,noxcarry,mincarry"),
@@ -127,7 +145,8 @@ def _step_cmds() -> "dict[str, list[str]]":
     }
 
 
-DEFAULT_STEPS = ("validate_wrap", "validate_packedx",
+DEFAULT_STEPS = ("validate_wrap", "validate_packedx", "validate_flags",
+                 "validate_banded_flags", "validate_tiny",
                  "vpu_subk", "vpu_ablate", "bench",
                  "scaling", "stream_ab_seq", "stream_ab_stream",
                  "autotune_nw_lg", "autotune_nw_ag", "autotune_sw_lg",
@@ -135,9 +154,12 @@ DEFAULT_STEPS = ("validate_wrap", "validate_packedx",
 
 
 def run_window(steps: List[str], log_dir: str, step_timeout: int,
-               probe_timeout: int) -> dict:
+               probe_timeout: int, force: bool = False) -> dict:
     """Run the queued steps; returns the summary dict (also written to
-    <log_dir>/summary.json incrementally, so a killed run keeps data)."""
+    <log_dir>/summary.json incrementally, so a killed run keeps data).
+    ``force`` re-runs validation steps even when their tuned-cache flag
+    is already set (required after ANY kernel change: the persisted flag
+    vouches for the code that was on disk when the drive ran)."""
     os.makedirs(log_dir, exist_ok=True)
     cmds = _step_cmds()
     summary: dict = {"log_dir": log_dir, "steps": []}
@@ -149,7 +171,8 @@ def run_window(steps: List[str], log_dir: str, step_timeout: int,
             f.write("\n")
 
     for name in steps:
-        if name in _STEP_FLAGS and _flag_already_set(_STEP_FLAGS[name]):
+        if (not force and name in _STEP_FLAGS
+                and _flag_already_set(_STEP_FLAGS[name])):
             print(f"[tpu_window] {name}: SKIP (flag already set)")
             summary["steps"].append({"step": name, "skipped": True})
             flush()
@@ -200,6 +223,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="comma list from: " + ",".join(DEFAULT_STEPS))
     ap.add_argument("--stepTimeout", type=int, default=2400)
     ap.add_argument("--probeTimeout", type=int, default=180)
+    ap.add_argument("--force", action="store_true",
+                    help="re-run validation steps even when their "
+                         "tuned-cache flag is already set (use after "
+                         "any kernel change)")
     ap.add_argument("--logDir", default="",
                     help="default logs/tpu_window_<ts>/")
     args = ap.parse_args(argv)
@@ -223,7 +250,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     ts = time.strftime("%Y%m%d_%H%M%S")
     log_dir = args.logDir or os.path.join(REPO, "logs", f"tpu_window_{ts}")
     summary = run_window(steps, log_dir, args.stepTimeout,
-                         args.probeTimeout)
+                         args.probeTimeout, force=args.force)
     done = summary.get("complete", False)
     print(json.dumps({
         "complete": done,

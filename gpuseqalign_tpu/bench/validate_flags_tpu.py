@@ -63,6 +63,8 @@ def main(argv) -> int:
         """Compare only the slots align_mlsp_v2 consumes."""
         bad = []
         for kk in base:
+            if kk not in new:
+                continue  # nobc drops the bc output (host recovery)
             b = np.asarray(base[kk])
             p = np.asarray(new[kk])
             if kk in ("hrow", "frow"):
@@ -87,10 +89,12 @@ def main(argv) -> int:
             packedx=bool(ent.get("packedx", 0)),
             packedef=bool(ent.get("packedef", 0)) and gap == "affine",
             remath=bool(ent.get("rematHdr", 0)),
+            nobc=bool(ent.get("noBc", 0)) and kind == "sw",
         )
         gapo, gape = -11, (-2 if gap == "affine" else 0)
         tag = (f"{spec_name} K={K} px={int(flags['packedx'])} "
-               f"pe={int(flags['packedef'])} rm={int(flags['remath'])}")
+               f"pe={int(flags['packedef'])} rm={int(flags['remath'])} "
+               f"nb={int(flags['nobc'])}")
         if not any(flags.values()):
             print(f"SKIP {tag}: no flags in the tuned entry")
             continue
@@ -144,6 +148,7 @@ def main(argv) -> int:
                 "packedx": [int(flags["packedx"])],
                 "packedef": [int(flags["packedef"])],
                 "rematHdr": [int(flags["remath"])],
+                "noBc": [int(flags["nobc"])],
             }),
             nw, res, R, TW, -(-rows // R), -(-cols // TW),
         )

@@ -45,6 +45,7 @@ from .pallas_wavefront2 import (  # noqa: F401
     _cdiv,
     _make_kernel,
     _pack_planes,
+    pack_x_streams,
     wrap_interleave,
     wrap_loc,
     wrap_ok,
@@ -54,13 +55,16 @@ from .pallas_wavefront2 import (  # noqa: F401
 @functools.partial(
     jax.jit,
     static_argnames=("R", "W", "TW", "K", "band_cols", "kind", "gap",
-                     "interpret", "B", "masked"),
+                     "interpret", "B", "masked", "packedx", "packedef",
+                     "remath"),
 )
 def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
                 haloH, haloE, adjr_loc, adjc_loc, *, R: int, W: int,
                 TW: int, K: int, band_cols: int, kind: str = "nw",
                 gap: str = "linear", interpret: bool = False,
-                B: int | None = None, masked: "bool | None" = None):
+                B: int | None = None, masked: "bool | None" = None,
+                packedx: bool = False, packedef: bool = False,
+                remath: bool = False):
     """One pass (B row blocks, K chains) over one column band, any spec.
 
     subst_planes: (B, 8, SUB, 128)  packed substitution rows for the blocks
@@ -88,6 +92,13 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
     masked=False to exercise the PRODUCTION mask logic (SW argmax guards
     etc.) under interpret mode, where the blanket mask would hide a
     guard bug.
+
+    ``packedx``/``packedef``/``remath`` are the register levers of the
+    full-matrix kernel, in their banded forms (shared byte-packed
+    letter streams over the BAND's X; packed E/F byte deltas — requires
+    -gapo <= 255; per-window halo-header STRIPE reads instead of K
+    hoisted (SUB,128) halo vectors). Outputs are bit-identical; see
+    _make_kernel.
     """
     affine = gap == "affine"
     is_sw = kind == "sw"
@@ -119,11 +130,15 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
         CT = _cdiv(CH, q)
         grid = (CH,)
 
+    packedef = packedef and affine
     kernel, _, _ = _make_kernel(
         K=K, SUB=SUB, W=W, CH=CH, cols_p=band_cols, R=R, TW=TW,
         OFF=OFF, prev_len=prev_len, B=B, kind=kind, gap=gap, banded=True,
         masked=interpret if masked is None else masked, wrap=wrap,
+        packedx=packedx, packedef=packedef, remath=remath,
     )
+    npk = _cdiv(K, 4) if packedx else 0
+    npk2 = _cdiv(K, 4) if packedef else 0
 
     # SW argmax guard: the kernel's column mask (uok: u <= adjc_loc - 2)
     # must never admit columns past the band edge — for a non-rightmost
@@ -207,19 +222,37 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
             inputs.append(ecolin)
 
     in_specs += chain_blk_specs((8, SUB, 128))
-    for k in range(K):
-        in_specs.append(pl.BlockSpec(
+    inputs += [subst_planes] * K
+    if packedx:
+        # npk SHARED byte-packed letter streams over the band's X,
+        # periodic mod NSpad and indexed by (ch mod SPB) — exactly the
+        # full-matrix layout (pack_x_streams doc); drain-phase wrapped
+        # junk letters feed only gated stores.
+        xs = xwin.reshape(NSpad)
+        pstreams = [
+            w.reshape(SPB, W // 128, 128)
+            for w in pack_x_streams(xs, OFF=OFF, K=K)
+        ]
+        in_specs += [pl.BlockSpec(
             (1, W // 128, 128),
-            functools.partial(
-                lambda ch, k=0: (
-                    (jnp.clip(_wloc(ch, k)[1], 0, SPB - 1) if wrap
-                     else jnp.clip(ch - k * offw, 0, SPB - 1)), 0, 0
-                ),
-                k=k,
-            ),
+            lambda ch: (jnp.mod(ch, SPB), 0, 0),
             memory_space=pltpu.VMEM,
-        ))
-    inputs += [subst_planes] * K + [xwin] * K
+        )] * npk
+        inputs += pstreams
+    else:
+        for k in range(K):
+            in_specs.append(pl.BlockSpec(
+                (1, W // 128, 128),
+                functools.partial(
+                    lambda ch, k=0: (
+                        (jnp.clip(_wloc(ch, k)[1], 0, SPB - 1) if wrap
+                         else jnp.clip(ch - k * offw, 0, SPB - 1)), 0, 0
+                    ),
+                    k=k,
+                ),
+                memory_space=pltpu.VMEM,
+            ))
+        inputs += [xwin] * K
 
     def out_blk(k):
         # Output row-block index for chain k at grid step ch.
@@ -278,14 +311,15 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
     scratch += [
         pltpu.VMEM((K, SUB, 128), jnp.int32),  # v1s
         pltpu.VMEM((K, SUB, 128), jnp.int32),  # shps
-        pltpu.VMEM((K, SUB, 128), jnp.int32),  # xds
+        pltpu.VMEM(((npk or K), SUB, 128), jnp.int32),  # xds (packedx: npk)
         pltpu.VMEM((K, SUB, 128), jnp.int32),  # accs
         pltpu.VMEM((K, 1, 128), jnp.int32),    # prows
     ]
     if affine:
         scratch += [
-            pltpu.VMEM((K, SUB, 128), jnp.int32),  # e1s
-            pltpu.VMEM((K, SUB, 128), jnp.int32),  # f1s
+            # e1s/f1s, or the shared packed delta words under packedef
+            pltpu.VMEM(((npk2 or K), SUB, 128), jnp.int32),
+            pltpu.VMEM(((npk2 or K), SUB, 128), jnp.int32),
             pltpu.VMEM((K, SUB, 128), jnp.int32),  # accEs
             pltpu.VMEM((K, 1, 128), jnp.int32),    # prowFs
         ]

@@ -71,8 +71,8 @@ def _make_tiny_kernel(*, K: int, SUB: int, SUBP: int, W: int, CH: int,
         hitl_refs = refs[pos: pos + K]; pos += K
         ctv_refs = refs[pos: pos + K]; pos += K
         if is_sw:
-            iokv_refs = refs[pos: pos + K]; pos += K
-            ctu_refs = refs[pos: pos + K]; pos += K
+            ilocm_refs = refs[pos: pos + K]; pos += K
+            bndu_refs = refs[pos: pos + K]; pos += K
         cost_refs = refs[pos: pos + K]; pos += K
         if is_sw:
             bv_refs = refs[pos: pos + K]; pos += K
@@ -140,8 +140,8 @@ def _make_tiny_kernel(*, K: int, SUB: int, SUBP: int, W: int, CH: int,
         hitls = [hitl_refs[k][0] != 0 for k in range(K)]
         ctvs = [ctv_refs[k][0] for k in range(K)]
         if is_sw:
-            iokvs = [iokv_refs[k][0] != 0 for k in range(K)]
-            ctus = [ctu_refs[k][0] for k in range(K)]
+            ilocms = [ilocm_refs[k][0] for k in range(K)]
+            bndus = [bndu_refs[k][0].astype(jnp.uint32) for k in range(K)]
         NCAR = (4 + (2 if affine else 0) + (2 if is_sw else 0))
 
         def window_body(w, carry):
@@ -214,11 +214,14 @@ def _make_tiny_kernel(*, K: int, SUB: int, SUBP: int, W: int, CH: int,
 
                     if is_sw:
                         # Per-lane running max + first-occurrence column;
-                        # pad rows/cols and front lanes excluded.
-                        upd = (
-                            (cell > bv) & iokvs[k] & (c <= ctus[k])
-                            & (iloc <= c)
-                        )
+                        # pad rows/cols and front lanes excluded, all via
+                        # ONE unsigned range compare against the
+                        # host-folded ilocm/bndu lane constants
+                        # (uu = c - iloc in [0, adjc-2] iff the lane is a
+                        # live in-range cell; dead lanes read c - 2^30,
+                        # unsigned-huge).
+                        uu = (c - ilocms[k]).astype(jnp.uint32)
+                        upd = (cell > bv) & (uu <= bndus[k])
                         bv = jnp.where(upd, cell, bv)
                         bc = jnp.where(upd, c, bc)
                     # Bottom-right capture: the hit lane's target step.
@@ -329,8 +332,15 @@ def pallas_mlsp_tiny_v2(subst, Ys, Xs, gapo, gape, adjrs, adjcs, *,
     # pairs with adjr < 2 — the host routes those around this kernel).
     hitl = (iloc_d[None] == adjr_l - 2).astype(jnp.int32)
     ctv = (adjr_l - 2) + (adjc_l - 2)
-    iokv = (1 + iloc_d[None] <= adjr_l - 1).astype(jnp.int32)
-    ctu = iloc_d[None] + adjc_l - 2
+    # Folded argmax guards (see _make_tiny_kernel): ilocm holds iloc at
+    # lanes whose row AND column ranges are non-empty and +2^30
+    # elsewhere, so uu = c - ilocm goes unsigned-huge at dead lanes; the
+    # per-lane unsigned column bound is adjc - 2 (= ctu - iloc).
+    ilocm = jnp.where(
+        (1 + iloc_d[None] <= adjr_l - 1) & (adjc_l >= 2),
+        iloc_d[None], jnp.int32(1 << 30),
+    )
+    bndu = adjc_l - 2
 
     kernel = _make_tiny_kernel(
         K=K, SUB=SUB, SUBP=SUBP, W=W, CH=CH, PR=PR, cols_p=cols_p,
@@ -383,7 +393,7 @@ def pallas_mlsp_tiny_v2(subst, Ys, Xs, gapo, gape, adjrs, adjcs, *,
 
     ins = [gmat] + [planes] * K + [xinj] * K + [hitl] * K + [ctv] * K
     if is_sw:
-        ins += [iokv] * K + [ctu] * K
+        ins += [ilocm] * K + [bndu] * K
 
     outs = pl.pallas_call(
         kernel,

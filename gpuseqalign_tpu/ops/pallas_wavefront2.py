@@ -65,7 +65,7 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                  banded: bool = False, dense: bool = False,
                  masked: bool = False, wrap: bool = False,
                  packedx: bool = False, packedef: bool = False,
-                 remath: bool = False):
+                 remath: bool = False, nobc: bool = False):
     """Kernel factory shared by the full-matrix, batched and BANDED forms.
 
     ``banded`` (the per-device compute of the multi-chip giant engine,
@@ -112,8 +112,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
     assert not (wrap and (batch or dense))
     # packedx (ROOFLINE agenda #1): the xd shift registers of 4 chains
     # share one byte-packed carry fed from a SHARED periodic stream
-    # (pack_x_streams); mlsp full-matrix modes only for now.
-    assert not (packedx and (batch or banded or dense))
+    # (pack_x_streams); full-matrix and banded mlsp forms.
+    assert not (packedx and (batch or dense))
     # packedef (ROOFLINE "packed E/F carry analog"): carry the affine E/F
     # state as byte deltas de = H - max(E, H+g), df = H - max(F, H+g)
     # packed 4 chains per word. EXACT refactoring, not an approximation:
@@ -125,15 +125,29 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
     # Deltas are byte-safe unconditionally: cell = max(..., E, F) >= E, F
     # gives de, df in [0, -g] for EVERY lane (junk included); requires
     # -gapo <= 255 (host wrapper gates).
-    assert not (packedef and (batch or banded or dense))
+    assert not (packedef and (batch or dense))
     assert not (packedef and not affine)
-    # remath: rematerialize the NW header-injection values (hdrH/dhdr/
-    # ehdr) as per-step scalars instead of K hoisted loop-invariant
-    # (SUB,128) vectors (4-6 vregs/chain). The injected value at the
-    # single matching lane i2d == c is a scalar function of c, so a
-    # per-window base + tt*g scalar add reproduces it exactly. Banded
-    # mode headers come from halo refs — excluded.
-    assert not (remath and banded)
+    # remath: rematerialize the header-injection values (hdrH/dhdr/ehdr)
+    # instead of holding K loop-invariant (SUB,128) vectors live across
+    # the hot loop (4-6 vregs/chain). Full-matrix form: the injected
+    # value at the single matching lane i2d == c is a scalar function of
+    # c, so a per-window base + tt*g scalar add reproduces it exactly.
+    # Banded form: the headers are halo DATA, but within one 128-step
+    # window every select reads lane (c // 128, c % 128) with c // 128
+    # constant (clocs are 128-aligned) — so a per-window (1, 128)
+    # dynamic-sublane stripe read from the halo ref replaces the hoisted
+    # vector (the (1,128) stripe broadcast selects the same element).
+    assert not (remath and (batch or dense))
+    # nobc (SW only): drop the bc (first-occurrence step) carry + its
+    # per-step select; the per-step capture degrades to a masked running
+    # max (cellm = live ? cell : 0; bv = max(bv, cellm)) — 4 vector ops
+    # instead of 6 and one fewer (SUB, 128) carry per chain (the spill
+    # cliff is one vreg wide, ROOFLINE §4). The host recovers the best
+    # cell's COLUMN exactly: j* = first j with H[i*, j] == v* in the
+    # best row, recomputed from the stored sparse headers (identical to
+    # the oracle's row-major first-occurrence tie-break).
+    assert not (nobc and not is_sw)
+    assert not (nobc and (batch or banded or dense))
     NSpad = prev_len - 128
     SPB = NSpad // W  # wrap mode: chunks per row block
     BBtot = B // K if K else 1
@@ -172,7 +186,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
             ecol_refs = refs[pos: pos + K]; pos += K
         if is_sw:
             bv_refs = refs[pos: pos + K]; pos += K
-            bc_refs = refs[pos: pos + K]; pos += K
+            if not nobc:
+                bc_refs = refs[pos: pos + K]; pos += K
         if capture_cost:
             cost_refs = refs[pos: pos + K]; pos += K
         if dense:
@@ -198,7 +213,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
             prowFs = refs[pos]; pos += 1
         if is_sw:
             bvs = refs[pos]; pos += 1
-            bcs = refs[pos]; pos += 1
+            if not nobc:
+                bcs = refs[pos]; pos += 1
         if capture_cost:
             costs_s = refs[pos]; pos += 1
 
@@ -341,7 +357,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                 prowFs[k] = jnp.full((1, 128), ninf, jnp.int32)
             if is_sw:
                 bvs[k] = jnp.zeros((SUB, 128), jnp.int32)
-                bcs[k] = jnp.zeros((SUB, 128), jnp.int32)
+                if not nobc:
+                    bcs[k] = jnp.zeros((SUB, 128), jnp.int32)
             if capture_cost:
                 costs_s[k] = jnp.full((SUB, 128), ninf, jnp.int32)
 
@@ -384,7 +401,7 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
         planes = [[planes_refs[k][0, p] for p in range(8)] for k in range(K)]
         NCAR = ((4 if packedx else 5)
                 + ((2 if packedef else 4) if affine else 0)
-                + (2 if is_sw else 0)
+                + ((1 if nobc else 2) if is_sw else 0)
                 + (1 if capture_cost else 0))
 
         def window_body(w, carry):
@@ -451,7 +468,31 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         else:
                             w0, w1 = d0, d1
                     pwds.append((w0, w1))
-            if remath and not is_sw:
+            if remath and banded:
+                # Halo-header STRIPE reads: within this window every
+                # header select hits lane (c // 128, c % 128) with
+                # c // 128 constant (clocs are 128-aligned), so one
+                # (1, 128) dynamic-sublane read per halo ref replaces
+                # the hoisted (SUB, 128) vector; the stripe broadcast
+                # selects the same element at i2d == c. Out-of-range
+                # windows (bubble/drain) clamp to a real stripe whose
+                # value the select never reads.
+                hstr, dstr, estr = [], [], []
+                for k in range(K):
+                    s0 = jnp.clip(clocs[k] // 128, 0, SUB - 1)
+                    if wrap:
+                        hk = hcolin_refs[k][0, pl.ds(s0, 1), :]
+                        dk = dcolin_refs[k][0, pl.ds(s0, 1), :]
+                    else:
+                        hk = hcolin[k, pl.ds(s0, 1), :]
+                        dk = dcolin[k, pl.ds(s0, 1), :]
+                    hstr.append(hk)
+                    dstr.append(dk)
+                    if affine:
+                        ek = (ecolin_refs[k][0, pl.ds(s0, 1), :] if wrap
+                              else ecolin[k, pl.ds(s0, 1), :])
+                        estr.append(jnp.maximum(ek, hk + g) + ge)
+            elif remath and not is_sw:
                 # Scalar header bases: the injected value at the single
                 # matching lane i2d == c is a scalar function of
                 # c = clocs[k] + tt, so one per-window base + a shared
@@ -468,6 +509,29 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     h0s = [(1 + blks[k] * R + clocs[k]) * g
                            for k in range(K)]
                     d0s = [h0s[k] - g for k in range(K)]
+
+            if is_sw:
+                # Folded argmax guards — one unsigned range compare per
+                # step instead of three compares + three ands: i2w holds
+                # i2d - cloc at lanes whose ROW is real (the old iok) and
+                # +2^30 elsewhere, so uu = tt - i2w reproduces
+                # u = c - i2d at live lanes and goes hugely negative —
+                # i.e. unsigned-huge — at dead ones. The per-step test
+                # uu <=u adjc - 2 is then exactly the old
+                # (i2d <= c) & (i2d >= c - adjc + 2) & iok conjunction
+                # (the adjc >= 2 scalar guard keeps a degenerate chain —
+                # e.g. a banded device wholly past the real columns —
+                # from turning adjc - 2 into a huge unsigned bound).
+                i2ws, adjc2u = [], []
+                for k in range(K):
+                    lane_ok = (
+                        (i2d <= adjrs[k] - 2 - blks[k] * R)
+                        & (adjcs[k] >= 2)
+                    )
+                    i2ws.append(jnp.where(
+                        lane_ok, i2d - clocs[k], jnp.int32(1 << 30)
+                    ))
+                    adjc2u.append((adjcs[k] - 2).astype(jnp.uint32))
 
             for tt in range(128):
                 if packedx:
@@ -508,7 +572,9 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     naff = (2 if packedef else 4) if affine else 0
                     nbase = nhdr + naff
                     if is_sw:
-                        bv, bc = st[nbase], st[nbase + 1]
+                        bv = st[nbase]
+                        if not nobc:
+                            bc = st[nbase + 1]
                     if capture_cost:
                         costv = st[NCAR - 1]
                     c = clocs[k] + tt
@@ -551,10 +617,15 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     # sh1p (last step's sh1) has lane0 == prevH[c] — exactly
                     # the diagonal operand's header fill.
                     if remath:
-                        # Scalar header rematerialization: identical
-                        # values to the hoisted vectors at the one lane
-                        # the select reads (i2d == c).
-                        if is_sw:
+                        # Header rematerialization: identical values to
+                        # the hoisted vectors at the one lane the select
+                        # reads (i2d == c).
+                        if banded:
+                            dh = dstr[k]
+                            hh = hstr[k]
+                            if affine:
+                                eh = estr[k]
+                        elif is_sw:
                             dh = jnp.int32(0)
                             hh = jnp.int32(0)
                             eh = g + ge
@@ -666,12 +737,20 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         # rows/cols excluded (pad letters score like real
                         # ones under the zero clamp), and front lanes
                         # excluded (their zero-clamped junk would look
-                        # real without the blanket mask above).
-                        iok = 1 + blk * R + i2d <= adjrs[k] - 1
-                        uok = i2d >= c - adjcs[k] + 2
-                        upd = (cell > bv) & iok & uok & (i2d <= c)
-                        bv = jnp.where(upd, cell, bv)
-                        bc = jnp.where(upd, c, bc)
+                        # real without the blanket mask above). All three
+                        # guards ride one unsigned range compare against
+                        # the per-window i2ws precompute.
+                        uu = (tt - i2ws[k]).astype(jnp.uint32)
+                        if nobc:
+                            # Value-only capture; the best column is
+                            # recovered host-side from the sparse headers
+                            # (factory doc).
+                            cellm = jnp.where(uu <= adjc2u[k], cell, 0)
+                            bv = jnp.maximum(bv, cellm)
+                        else:
+                            upd = (cell > bv) & (uu <= adjc2u[k])
+                            bv = jnp.where(upd, cell, bv)
+                            bc = jnp.where(upd, c, bc)
                     if capture_cost:
                         # The true bottom-right cell (adjr-1, adjc-1) lives
                         # at lane adjr-2-blk*R, step lane + adjc - 2.
@@ -734,7 +813,7 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         st += ([accE, prowF] if packedef
                                else [e_new, f_new, accE, prowF])
                     if is_sw:
-                        st += [bv, bc]
+                        st += ([bv] if nobc else [bv, bc])
                     if capture_cost:
                         st += [costv]
                     vs[NCAR * k: NCAR * (k + 1)] = st
@@ -750,7 +829,7 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                 init += ([accEs[k], prowFs[k]] if packedef
                          else [e1s[k], f1s[k], accEs[k], prowFs[k]])
             if is_sw:
-                init += [bvs[k], bcs[k]]
+                init += ([bvs[k]] if nobc else [bvs[k], bcs[k]])
             if capture_cost:
                 init += [costs_s[k]]
         if packedx:
@@ -783,7 +862,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     prowFs[k] = st[nhdr + 3]
             if is_sw:
                 bvs[k] = st[nbase]
-                bcs[k] = st[nbase + 1]
+                if not nobc:
+                    bcs[k] = st[nbase + 1]
             if capture_cost:
                 costs_s[k] = st[NCAR - 1]
         if packedx:
@@ -805,7 +885,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         frow_refs[k][0, 0, :] = prevf[k][0, :]
                     if is_sw:
                         bv_refs[k][0] = bvs[k]
-                        bc_refs[k][0] = bcs[k]
+                        if not nobc:
+                            bc_refs[k][0] = bcs[k]
         else:
             @pl.when(ch == CH - 1)
             def _fin():
@@ -815,7 +896,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         frow_refs[k][0, 0, :] = prevf[k][0, :]
                     if is_sw:
                         bv_refs[k][0] = bvs[k]
-                        bc_refs[k][0] = bcs[k]
+                        if not nobc:
+                            bc_refs[k][0] = bcs[k]
                     if capture_cost:
                         cost_refs[k][0] = costs_s[k]
 
@@ -908,12 +990,13 @@ def wrap_interleave(parts, BBtot: int, K: int, tail: tuple):
 @functools.partial(
     jax.jit,
     static_argnames=("R", "W", "TW", "K", "kind", "gap", "interpret",
-                     "packedx", "packedef", "remath"),
+                     "packedx", "packedef", "remath", "nobc"),
 )
 def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
                    TW: int, K: int, kind: str = "nw", gap: str = "linear",
                    interpret: bool = False, packedx: bool = False,
-                   packedef: bool = False, remath: bool = False):
+                   packedef: bool = False, remath: bool = False,
+                   nobc: bool = False):
     """Sparse fill v2 for any spec. Returns a dict:
 
     hrow: (B, prev_len)         row (b+1)*R of H (indexed by global j)
@@ -966,11 +1049,12 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
         grid = (BB, CH)
 
     packedef = packedef and gap == "affine"
+    nobc = nobc and is_sw
     kernel, q, _ = _make_kernel(
         K=K, SUB=SUB, W=W, CH=CH, cols_p=cols_p, R=R, TW=TW, OFF=OFF,
         prev_len=prev_len, B=B, kind=kind, gap=gap,
         masked=interpret, wrap=use_wrap, packedx=packedx,
-        packedef=packedef, remath=remath,
+        packedef=packedef, remath=remath, nobc=nobc,
     )
     npk = _cdiv(K, 4) if packedx else 0
     npk2 = _cdiv(K, 4) if packedef else 0
@@ -1079,8 +1163,9 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
         out_specs += kmap(row_spec) + kmap(col_spec)
         out_shapes += [row_shape] * K + [col_shape] * K
     if is_sw:
-        out_specs += kmap(blk_spec) + kmap(blk_spec)
-        out_shapes += [blk_shape] * K + [blk_shape] * K
+        nblk = 1 if nobc else 2
+        out_specs += kmap(blk_spec) * nblk
+        out_shapes += [blk_shape] * (K * nblk)
 
     scratch = [pltpu.VMEM((1, prev_len), jnp.int32) for _ in range(K)]
     if affine:
@@ -1101,10 +1186,9 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
             pltpu.VMEM((K, 1, 128), jnp.int32),    # prowFs
         ]
     if is_sw:
-        scratch += [
-            pltpu.VMEM((K, SUB, 128), jnp.int32),  # bvs
-            pltpu.VMEM((K, SUB, 128), jnp.int32),  # bcs
-        ]
+        scratch += [pltpu.VMEM((K, SUB, 128), jnp.int32)]  # bvs
+        if not nobc:
+            scratch += [pltpu.VMEM((K, SUB, 128), jnp.int32)]  # bcs
 
     outs = pl.pallas_call(
         kernel,
@@ -1142,8 +1226,9 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
     if is_sw:
         out["bv"] = merge_blks(outs[pos: pos + K])
         pos += K
-        out["bc"] = merge_blks(outs[pos: pos + K])
-        pos += K
+        if not nobc:
+            out["bc"] = merge_blks(outs[pos: pos + K])
+            pos += K
     return out
 
 
@@ -1482,7 +1567,8 @@ def v2_params_ok(tile_h: int, tile_w: int, rows: int, cols: int) -> bool:
 def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
                   affine: bool, is_sw: bool,
                   capture_cost: bool = False,
-                  packedx: bool = False, packedef: bool = False) -> int:
+                  packedx: bool = False, packedef: bool = False,
+                  nobc: bool = False) -> int:
     """Analytic VMEM peak of one v2/banded pallas_call — the TPU analog of
     the reference's occupancy-based shared-memory accounting
     (ref: src/nwalign_shared.cpp:5-25). Sums the static scratch_shapes
@@ -1498,7 +1584,7 @@ def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
         scratch += K * prev_len * i32                # prevf
         scratch += (nef + K) * blk + K * 128 * i32   # +accEs+prowFs
     if is_sw:
-        scratch += 2 * K * blk                       # bvs/bcs
+        scratch += (1 if nobc else 2) * K * blk      # bvs (+bcs)
     if capture_cost:
         scratch += K * blk
     ins = K * 8 * blk + nxd * W * i32                # planes + xwin blocks
@@ -1506,7 +1592,7 @@ def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
     if affine:
         outs *= 2                                    # + frow + ecol
     if is_sw:
-        outs += 2 * K * blk                          # bv + bc
+        outs += (1 if nobc else 2) * K * blk         # bv (+bc)
     if capture_cost:
         outs += K * blk
     return scratch + 2 * (ins + outs)
@@ -1514,7 +1600,8 @@ def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
 
 def v2_regmem_bytes(*, K: int, SUB: int, affine: bool, is_sw: bool,
                     capture_cost: bool = False,
-                    packedx: bool = False, packedef: bool = False) -> int:
+                    packedx: bool = False, packedef: bool = False,
+                    nobc: bool = False) -> int:
     """Per-chain carry state held in vector registers across the hot loop
     (the regmem analog of the reference's cudaFuncAttributes register
     accounting): NCAR (SUB, 128) int32 vectors per chain, plus the
@@ -1522,7 +1609,8 @@ def v2_regmem_bytes(*, K: int, SUB: int, affine: bool, is_sw: bool,
     2*ceil(K/4) shared E/F delta words under packedef."""
     ncar = ((4 if packedx else 5)
             + ((2 if packedef else 4) if affine else 0)
-            + (2 if is_sw else 0) + (1 if capture_cost else 0))
+            + ((1 if nobc else 2) if is_sw else 0)
+            + (1 if capture_cost else 0))
     shared = (_cdiv(K, 4) if packedx else 0) \
         + (2 * _cdiv(K, 4) if packedef else 0)
     return (ncar * K + shared) * SUB * 128 * 4
@@ -1650,14 +1738,16 @@ def tuned_defaults(kind: str, gap: str, allow_packedx: bool = False) -> dict:
     ent.setdefault("packedx", 0)
     ent.setdefault("packedef", 0)
     ent.setdefault("rematHdr", 0)
+    ent.setdefault("noBc", 0)
     if not allow_packedx and (ent["packedx"] or ent["packedef"]
-                              or ent["rematHdr"]):
-        # packedef/rematHdr share packedx's constraint: full-matrix mlsp
-        # kernel forms only.
+                              or ent["rematHdr"] or ent["noBc"]):
+        # packedef/rematHdr/noBc share packedx's constraint: full-matrix
+        # mlsp kernel forms only.
         ent["kChains"] = min(
             int(ent["kChains"]), K_MAX_DEFAULT[(kind, gap)]
         )
         ent["packedx"] = ent["packedef"] = ent["rematHdr"] = 0
+        ent["noBc"] = 0
     return ent
 
 
@@ -1793,6 +1883,8 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     packedef = packedef and affine and -255 <= nw.gapo_cost <= 0
     rm = pr.get("rematHdr", None)
     remath = bool(tuned.get("rematHdr", 0)) if rm is None else bool(rm)
+    nb = pr.get("noBc", None)
+    nobc = (bool(tuned.get("noBc", 0)) if nb is None else bool(nb)) and is_sw
     K = choose_k(trows, k_max)
     trows_p = _cdiv(trows, K) * K  # pad row blocks so B % K == 0
     rows_p = trows_p * R
@@ -1818,7 +1910,7 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
                 R=R, W=W, TW=TW, K=K,
                 kind=spec.kind.value, gap=spec.gap.value,
                 interpret=interpret, packedx=packedx,
-                packedef=packedef, remath=remath,
+                packedef=packedef, remath=remath, nobc=nobc,
             )
             jax.block_until_ready(out_d)
             break
@@ -1855,10 +1947,11 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     res.shmem_peak_allocs = max(res.shmem_peak_allocs, v2_vmem_bytes(
         K=K, SUB=SUBv, prev_len=NSpadv + 128, W=W,
         affine=affine, is_sw=is_sw, packedx=packedx, packedef=packedef,
+        nobc=nobc,
     ))
     res.regmem_peak_allocs = max(res.regmem_peak_allocs, v2_regmem_bytes(
         K=K, SUB=SUBv, affine=affine, is_sw=is_sw, packedx=packedx,
-        packedef=packedef,
+        packedef=packedef, nobc=nobc,
     ))
 
     ninf = np.int32(NEG_INF_I32)
@@ -1913,15 +2006,22 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     best = None
     if is_sw:
         bv = out["bv"].reshape(trows_p, R)[:trows]
-        bc = out["bc"].reshape(trows_p, R)[:trows]
-        iv = 1 + np.arange(trows * R).reshape(trows, R)
-        # lane index within block is i2d = 0..R-1
-        i2d = np.arange(R).reshape(1, R)
-        jv = bc - i2d + 1
         flat_v = bv.ravel()
         if flat_v.max(initial=0) <= 0:
             best = np.array([0, 0, 0], np.int32)
+        elif nobc:
+            # Value-only capture: bv gives (v*, i*) directly (one lane
+            # per DP row, so the first flat max IS the smallest row);
+            # the column is recovered from the stored sparse headers
+            # after _mlsp_store below.
+            b0 = int(np.argmax(flat_v))
+            best = np.array([flat_v[b0], 1 + b0, 0], np.int32)
         else:
+            bc = out["bc"].reshape(trows_p, R)[:trows]
+            iv = 1 + np.arange(trows * R).reshape(trows, R)
+            # lane index within block is i2d = 0..R-1
+            i2d = np.arange(R).reshape(1, R)
+            jv = bc - i2d + 1
             order = np.lexsort((jv.ravel(), iv.ravel(), -flat_v))
             b0 = order[0]
             best = np.array(
@@ -1932,4 +2032,33 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
         nw, res, hrows, hcols, tile_h, tile_w, trows, tcols,
         frows=frows, ecols=ecols, best=best,
     )
+    if (stat == Status.success and is_sw and nobc
+            and res.align_cost > 0):
+        _recover_best_j(nw, res)
     return stat
+
+
+def _recover_best_j(nw, res) -> None:
+    """nobc column recovery: j* = the first column of row i* whose H
+    equals align_cost, recomputed left-to-right from the stored sparse
+    headers — exactly the oracle's row-major first-occurrence tie-break
+    (bv already fixed the smallest such row i*)."""
+    from ..trace.sparse import align_tile_full, get_tile_and_elem_ij
+
+    i_star = nw.best_i
+    want = res.align_cost
+    tile_w = nw.tile_hrow_len - 1
+    for jt in range(nw.tile_hdr_mat_cols):
+        j0 = jt * tile_w + 1
+        if j0 > nw.adjcols - 1:
+            break
+        co = get_tile_and_elem_ij(nw, i_star, j0)
+        rowv = align_tile_full(nw, co)["H"][co.i_elem]
+        for jj in np.nonzero(rowv[1:] == want)[0]:
+            gj = j0 + int(jj)
+            if gj <= nw.adjcols - 1:
+                nw.best_j = gj
+                return
+    # Unreachable for a consistent fill: align_cost was captured from a
+    # live cell of row i*. Leave best_j = 0 so the traceback surfaces
+    # the inconsistency instead of masking it.

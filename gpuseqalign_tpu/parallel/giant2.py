@@ -68,6 +68,38 @@ def _wrap_validated() -> bool:
     return _WRAP_TPU_VALIDATED or tuned_flag("wrap_tpu_validated")
 
 
+def _kernel_flags(pr: AlgParams, spec) -> "tuple[int, bool, bool, bool]":
+    """(K_override, packedx, packedef, remath) for the banded kernel.
+
+    Explicit params always win. Otherwise, on a real TPU, the tuned
+    cache's per-spec ``banded`` sub-entry applies once the on-chip
+    differential drive has persisted ``banded_flags_tpu_validated``
+    (bench/validate_banded_flags_tpu.py) — the same gating pattern as
+    wrap_tpu_validated. Elsewhere (CPU mesh, interpret) the flags stay
+    off unless explicitly requested.
+    """
+    px = pr.get("packedx", None)
+    pe = pr.get("packedef", None)
+    rm = pr.get("rematHdr", None)
+    k_b = 0
+    if px is None and pe is None and rm is None:
+        try:
+            from ..ops.pallas_wavefront2 import tuned_cache, tuned_flag
+
+            if (jax.default_backend() == "tpu"
+                    and tuned_flag("banded_flags_tpu_validated")):
+                name = f"{spec.kind.value}" \
+                       f"_{'ag' if spec.gap == GapKind.AFFINE else 'lg'}"
+                ent = tuned_cache().get(name, {}).get("banded", {})
+                px = ent.get("packedx", 0)
+                pe = ent.get("packedef", 0)
+                rm = ent.get("rematHdr", 0)
+                k_b = int(ent.get("kChains", 0))
+        except Exception:
+            pass
+    return k_b, bool(px or 0), bool(pe or 0), bool(rm or 0)
+
+
 def pick_kb(n_blocks, K: int, D: int, *, R: int, W: int,
             band_cols: int, kb_max: int = 8) -> int:
     """Echelon groups per pass (pass height = KB*K*R rows), by the analytic
@@ -105,7 +137,8 @@ def pick_kb(n_blocks, K: int, D: int, *, R: int, W: int,
     jax.jit,
     static_argnames=(
         "mesh", "axis", "R", "W", "TW", "K", "band_cols", "n_pass",
-        "kind", "gap", "interpret", "KB", "masked",
+        "kind", "gap", "interpret", "KB", "masked", "packedx",
+        "packedef", "remath",
     ),
 )
 def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
@@ -113,7 +146,8 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
                 band_cols: int, n_pass: int, kind: str = "nw",
                 gap: str = "linear", interpret: bool = False, KB: int = 1,
                 pass2pair=None, pass2local=None,
-                masked: "bool | None" = None):
+                masked: "bool | None" = None, packedx: bool = False,
+                packedef: bool = False, remath: bool = False):
     """Distributed sparse fill, any spec — one pair or a PIPELINED STREAM
     of pairs (align_giant2_stream): the scan runs sum(n_pass_i) + D - 1
     steps total, so the cross-device fill/drain bubble (D - 1 steps) is
@@ -237,6 +271,7 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
                 adjr[pid] - row0, adjc[pid] - c0,
                 R=R, W=W, TW=TW, K=K, band_cols=band_cols, kind=kind,
                 gap=gap, interpret=interpret, B=BL, masked=masked,
+                packedx=packedx, packedef=packedef, remath=remath,
             )
             edge_top = prev_in[band_cols]
             rightH = out["hcol"][:, jtE].reshape(BL * R)
@@ -365,6 +400,10 @@ def align_giant2(
     rows = nw.adjrows - 1
     cols = nw.adjcols - 1
     R, TW, K = _tile_params(pr, spec)
+    k_b, packedx, packedef, remath = _kernel_flags(pr, spec)
+    if k_b and not pr.get("kChains", 0):
+        K = k_b
+    packedef = packedef and affine and -255 <= nw.gapo_cost <= 0
     if not _tile_params_ok(R, TW, K):
         return Status.errorInvalidValue
     band_cols = _cdiv(max(cols, 1), D * TW) * TW
@@ -423,7 +462,7 @@ def align_giant2(
         mesh=mesh, R=R, W=min(512, TW), TW=TW, K=K,
         band_cols=band_cols, n_pass=n_pass, KB=KB,
         kind=spec.kind.value, gap=spec.gap.value, interpret=interpret,
-        masked=masked,
+        masked=masked, packedx=packedx, packedef=packedef, remath=remath,
     )
     jax.block_until_ready(out_d)
     sw.lap("align.calc")
@@ -618,6 +657,10 @@ def align_giant2_stream(
         t_ref = now
 
     R, TW, K = _tile_params(pr, spec)
+    k_b, packedx, packedef, remath = _kernel_flags(pr, spec)
+    if k_b and not pr.get("kChains", 0):
+        K = k_b
+    packedef = packedef and affine and -255 <= gapo <= 0
     if not _tile_params_ok(R, TW, K):
         return [Status.errorInvalidValue] * n
     W = min(512, TW)
@@ -675,7 +718,7 @@ def align_giant2_stream(
         mesh=mesh, R=R, W=W, TW=TW, K=K,
         band_cols=band_cols, n_pass=total_pass, KB=KB,
         kind=spec.kind.value, gap=spec.gap.value, interpret=interpret,
-        masked=masked,
+        masked=masked, packedx=packedx, packedef=packedef, remath=remath,
         pass2pair=p2p, pass2local=p2l,
     )
     jax.block_until_ready(out_d)

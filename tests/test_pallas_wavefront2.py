@@ -196,6 +196,51 @@ def test_v2_wrap_matches_oracle(blosum62, rng, rows, cols, R, W, TW, K):
             )
 
 
+@pytest.mark.parametrize("spec_name,K,extra", [
+    ("sw_lg", 2, {}),
+    ("sw_ag", 3, {"packedx": [1], "packedef": [1], "rematHdr": [1]}),
+])
+def test_align_mlsp_v2_nobc(blosum62, rng, spec_name, K, extra):
+    """noBc (value-only SW argmax, bc carry dropped): the host recovers
+    the best cell's column from the stored sparse headers, so the
+    traceback start — and therefore the transcript/hash — must still
+    reproduce the oracle's row-major first-occurrence tie-break."""
+    from gpuseqalign_tpu.models.oracle import align_cost_of
+
+    spec = AlignSpec.from_name(spec_name)
+    Y = random_seq(rng, 430)
+    X = random_seq(rng, 1000)
+
+    nw = AlgInput()
+    nw.subst = blosum62
+    nw.substsz = blosum62.shape[0]
+    nw.seqY, nw.seqX = Y, X
+    nw.adjrows, nw.adjcols = len(Y), len(X)
+    nw.gapo_cost = -11
+    nw.gape_cost = -2 if spec.gap.value == "affine" else 0
+    nw.spec = spec
+
+    res = AlgResult()
+    tile_h = tile_w = 128
+    trows = -(-430 // tile_h)
+    tcols = -(-1000 // tile_w)
+    stat = align_mlsp_v2(
+        AlgParams({"kChains": [K], "noBc": [1], **extra}),
+        nw, res, tile_h, tile_w, trows, tcols, interpret=True,
+    )
+    assert stat == Status.success
+
+    mats = oracle_align_dense(spec, blosum62, Y, X, -11, nw.gape_cost)
+    assert res.align_cost == align_cost_of(spec, mats)
+    assert (nw.best_i, nw.best_j) == tuple(int(v) for v in mats["best"])
+    assert trace_sparse(nw, res, False) == Status.success
+    transcript, thash, _ = oracle_trace_dense(
+        spec, mats, blosum62, Y, X, -11, nw.gape_cost
+    )
+    assert res.edit_trace == transcript
+    assert res.trace_hash == thash
+
+
 @pytest.mark.parametrize("spec_name", ["nw_ag", "sw_ag"])
 def test_align_mlsp_v2_wrap_specs(blosum62, rng, spec_name):
     """Wrap grid through the full sparse wrapper for the extension specs:

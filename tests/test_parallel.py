@@ -199,6 +199,43 @@ class TestGiant2:
                   params={"tileBy": [128], "tileBx": [128],
                           "kChains": [k], "passBlocks": [2]})
 
+    @pytest.mark.parametrize(
+        "spec_name,k,flags",
+        [
+            # packedx + halo-stripe remath through the echelon grid
+            ("nw_lg", 2, {"packedx": [1], "rematHdr": [1]}),
+            # the full affine register-lever stack, echelon
+            ("nw_ag", 2, {"packedx": [1], "packedef": [1],
+                          "rematHdr": [1]}),
+            # packedef alone, K=5 spans two packed groups
+            ("sw_ag", 5, {"packedef": [1]}),
+        ],
+    )
+    def test_banded_v2_flags(self, rng, blosum62, spec_name, k, flags):
+        """Banded register levers (packedx / packedef / halo-stripe
+        remath) must stay oracle-exact through the giant engine."""
+        mesh = make_mesh(2, axis_name="sp")
+        self._run(blosum62, spec_name, random_seq(rng, 700),
+                  random_seq(rng, 500), mesh,
+                  params={"tileBy": [128], "tileBx": [128],
+                          "kChains": [k], **flags})
+
+    @pytest.mark.parametrize(
+        "spec_name,flags",
+        [
+            ("nw_ag", {"packedx": [1], "packedef": [1], "rematHdr": [1]}),
+            ("sw_lg", {"packedx": [1], "rematHdr": [1]}),
+        ],
+    )
+    def test_banded_v2_flags_wrap(self, rng, blosum62, spec_name, flags):
+        """Same levers through the wrap (continuous-echelon) banded grid
+        (passBlocks=2; see test_banded_v2_wrap_kb2 for the geometry)."""
+        mesh = make_mesh(2, axis_name="sp")
+        self._run(blosum62, spec_name, random_seq(rng, 700),
+                  random_seq(rng, 1100), mesh,
+                  params={"tileBy": [128], "tileBx": [128],
+                          "kChains": [2], "passBlocks": [2], **flags})
+
     def test_banded_v2_wrap_invalid_geometry(self, rng, blosum62):
         """Explicit passBlocks > 1 with a hazard-violating geometry (narrow
         band) must return errorInvalidValue, not crash mid-trace."""

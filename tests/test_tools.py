@@ -93,7 +93,7 @@ def test_tpu_window_orchestrator(tmp_path, monkeypatch):
         tw, "_step_cmds", lambda: {"validate_wrap": echo, "a": echo,
                                    "b": echo}
     )
-    monkeypatch.setattr(tw, "_wrap_already_validated", lambda: True)
+    monkeypatch.setattr(tw, "_flag_already_set", lambda flag, **kw: True)
     probes = iter([True, False])  # a runs, tunnel drops before b
     monkeypatch.setattr(tw, "tpu_reachable", lambda *_: next(probes))
     summary = tw.run_window(["validate_wrap", "a", "b"], str(tmp_path),
