@@ -143,6 +143,21 @@ DEFAULT_V2_GRID = {
          "noBc": 1},
         {"kChains": 5, "packedx": 1, "packedef": 1, "rematHdr": 1,
          "noBc": 1},
+        # subProw (ROADMAP lever #4): per-step bottom-sublane scratch
+        # store + per-window strided-roll rebuild instead of the per-step
+        # prow lane roll — a roll-port lever (128 -> 128/SUB lane rolls
+        # per window per chain, x2 for affine's prowF) AND a register
+        # lever (frees the prow/prowF carries), so it also sweeps K one
+        # past the base K_max.
+        {"kChains": 6, "subProw": 1},
+        {"kChains": 6, "packedx": 1, "subProw": 1},
+        {"kChains": 7, "packedx": 1, "subProw": 1},
+        {"kChains": 6, "packedx": 1, "rematHdr": 1, "subProw": 1},
+        {"kChains": 6, "packedx": 1, "packedef": 1, "subProw": 1},
+        {"kChains": 7, "packedx": 1, "packedef": 1, "subProw": 1},
+        {"kChains": 4, "packedx": 1, "rematHdr": 1, "subProw": 1},
+        {"kChains": 6, "packedx": 1, "rematHdr": 1, "noBc": 1,
+         "subProw": 1},
     ],
 }
 
@@ -225,23 +240,24 @@ def tune_v2(
                 combos = [
                     (int(c.get("packedx", 0)), int(c.get("packedef", 0)),
                      int(c.get("rematHdr", 0)), int(c.get("noBc", 0)),
-                     int(c["kChains"]))
+                     int(c.get("subProw", 0)), int(c["kChains"]))
                     for c in grid["combos"]
                 ]
             else:
                 combos = (
-                    [(0, 0, 0, 0, k) for k in grid.get("kChains", [4])]
-                    + [(1, 0, 0, 0, k)
+                    [(0, 0, 0, 0, 0, k) for k in grid.get("kChains", [4])]
+                    + [(1, 0, 0, 0, 0, k)
                        for k in (grid.get("kChainsPacked", [])
                                  if 1 in grid.get("packedx", [0])
                                  else [])]
                     + [(int(c.get("packedx", 0)),
                         int(c.get("packedef", 0)),
                         int(c.get("rematHdr", 0)),
-                        int(c.get("noBc", 0)), int(c["kChains"]))
+                        int(c.get("noBc", 0)),
+                        int(c.get("subProw", 0)), int(c["kChains"]))
                        for c in grid.get("combos_extra", [])]
                 )
-            for px, pe, rm, nb, K in combos:
+            for px, pe, rm, nb, sp, K in combos:
                 if pe and gap != "affine":
                     continue
                 if nb and kind != "sw":
@@ -259,7 +275,7 @@ def tune_v2(
 
                 @functools.partial(jax.jit, static_argnames=("m",))
                 def loop(subst_j, yj, xj, g0, *, m, R=R, W=W, TW=TW, K=K,
-                         px=px, pe=pe, rm=rm, nb=nb):
+                         px=px, pe=pe, rm=rm, nb=nb, sp=sp):
                     def body(carry, _):
                         # True dependency via X's never-read header
                         # element (a 0*carry pseudo-dependency can be
@@ -271,6 +287,7 @@ def tune_v2(
                             R=R, W=W, TW=TW, K=K, kind=kind, gap=gap,
                             packedx=bool(px), packedef=bool(pe),
                             remath=bool(rm), nobc=bool(nb),
+                            subprow=bool(sp),
                         )
                         return out["hrow"][0, 0], None
 
@@ -289,7 +306,7 @@ def tune_v2(
                     return float(np.min(ts))
 
                 tag = (f"R={R} TW={TW} W={W} K={K} px={px} pe={pe} "
-                       f"rm={rm} nb={nb}")
+                       f"rm={rm} nb={nb} sp={sp}")
                 try:
                     # Correctness gate: 2*K row blocks so the echelon
                     # cross-chain dataflow actually runs at this K.
@@ -307,7 +324,8 @@ def tune_v2(
                         AlgParams({"tileBy": [R], "tileBx": [TW],
                                    "kChains": [K], "winW": [W],
                                    "packedx": [px], "packedef": [pe],
-                                   "rematHdr": [rm], "noBc": [nb]}),
+                                   "rematHdr": [rm], "noBc": [nb],
+                                   "subProw": [sp]}),
                         nwc, resc, R, TW, gr // R, -(-gc // TW),
                     )
                     if stat != Status.success or resc.align_cost != want:
@@ -326,7 +344,7 @@ def tune_v2(
                 if best is None or g > best["_gcups"]:
                     best = {"tileBy": R, "tileBx": TW, "kChains": K,
                             "winW": W, "packedx": px, "packedef": pe,
-                            "rematHdr": rm, "noBc": nb,
+                            "rematHdr": rm, "noBc": nb, "subProw": sp,
                             "_gcups": round(g, 3)}
     if best is None:
         raise RuntimeError("no valid v2 combination")
@@ -350,7 +368,11 @@ def save_defaults(entry: Dict[str, int], spec_name: str) -> str:
     if os.path.exists(path):
         with open(path, "r", encoding="utf-8") as f:
             data = json.load(f)
-    data[spec_name] = entry
+    # MERGE into the existing spec entry instead of replacing it: the
+    # full-matrix autotuner must not wipe sub-entries other tools own
+    # (giant_ab_tpu's giant-regime ``banded`` sub-dict was lost exactly
+    # this way at the end of round 3).
+    data[spec_name] = {**data.get(spec_name, {}), **entry}
     with open(path, "w", encoding="utf-8") as f:
         json.dump(data, f, indent=2, sort_keys=True)
         f.write("\n")

@@ -98,6 +98,15 @@ def _gen_case(seed: int, case: int) -> dict:
             for k in ("packedx", "packedef", "rematHdr")
             if int(rng.integers(0, 2))
         },
+        # Full-matrix v2 register levers, drawn independently (flags a
+        # spec can't run — packedef on linear, noBc on NW — are ignored
+        # by align_mlsp_v2 itself).
+        "v2Flags": {
+            k: [1]
+            for k in ("packedx", "packedef", "rematHdr", "noBc",
+                      "subProw")
+            if int(rng.integers(0, 2))
+        },
     }
 
 
@@ -126,6 +135,8 @@ def _run_alg(alg, alg_name: str, case: dict):
             "tileBy": [case["tileBy"]],
             "tileBx": [case["tileBx"]],
             "blocksz": [case["blocksz"]],
+            **(case.get("v2Flags", {})
+               if alg_name == "tpu7_pallas_mlsp" else {}),
         })
     try:
         stat = alg.align(params, nw, res)

@@ -90,11 +90,12 @@ def main(argv) -> int:
             packedef=bool(ent.get("packedef", 0)) and gap == "affine",
             remath=bool(ent.get("rematHdr", 0)),
             nobc=bool(ent.get("noBc", 0)) and kind == "sw",
+            subprow=bool(ent.get("subProw", 0)),
         )
         gapo, gape = -11, (-2 if gap == "affine" else 0)
         tag = (f"{spec_name} K={K} px={int(flags['packedx'])} "
                f"pe={int(flags['packedef'])} rm={int(flags['remath'])} "
-               f"nb={int(flags['nobc'])}")
+               f"nb={int(flags['nobc'])} sp={int(flags['subprow'])}")
         if not any(flags.values()):
             print(f"SKIP {tag}: no flags in the tuned entry")
             continue
@@ -149,6 +150,7 @@ def main(argv) -> int:
                 "packedef": [int(flags["packedef"])],
                 "rematHdr": [int(flags["remath"])],
                 "noBc": [int(flags["nobc"])],
+                "subProw": [int(flags["subprow"])],
             }),
             nw, res, R, TW, -(-rows // R), -(-cols // TW),
         )

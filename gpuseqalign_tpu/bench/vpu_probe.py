@@ -213,6 +213,15 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                 spill cliff at once. The production recipe needs one
                 host-side packed stream xp[j] = sum_k X[(j - k*OFF) mod
                 NSpad] << 8(k%4) per K-group, same layout as xw today.
+      subprow   replace the per-step bottom-row capture (1 lane roll + 1
+                select per chain-step, the ~20% noprow found) with a
+                per-step STATIC (1,128) store of the bottom sublane into a
+                (128,128) VMEM scratch, then once per 128-step window
+                rebuild the prow vector with 128/SUB STRIDED lane rolls
+                (pltpu.roll stride=1 over sublanes spreads each tile's
+                lane-127 column onto consecutive destination lanes) +
+                masked merges + one sublane max-reduce. 128 -> 8 lane
+                rolls per window per chain; ROADMAP lever #4.
     """
     variants = variants or ["base", "nolookup", "lookup6", "smemx",
                             "noheader", "lean"]
@@ -223,8 +232,10 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
 
     def make_run(m, *, nolookup=False, planes6=False, smemx=False,
                  noheader=False, noacc=False, noprow=False,
-                 noxcarry=False, packedx=False, interpret=False):
-        def kernel(xs_ref, a_ref, planes_ref, o_ref):
+                 noxcarry=False, packedx=False, subprow=False,
+                 interpret=False):
+        def kernel(xs_ref, a_ref, planes_ref, o_ref, *scratch):
+            scr_ref = scratch[0] if subprow else None
             a = a_ref[...]
             g = jnp.int32(-11)
             l_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
@@ -342,7 +353,53 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                             sel = sel - jnp.where(sel >= 2048, 2048, 0)
                             acc = jnp.where(i2d == sel, cell, acc)
                             st.append(acc)
-                        if not noprow:
+                        if subprow:
+                            # Bottom sublane -> scratch row tt (static
+                            # store, no permute); prow rebuilt at the
+                            # window flush below.
+                            scr_ref[k, pl.ds(tt, 1), :] = (
+                                cell[SUB - 1:SUB, :]
+                            )
+                            if tt == 125:
+                                # Window flush: spread each SUB-row tile's
+                                # lane-127 column onto consecutive prow
+                                # lanes with ONE strided roll per tile.
+                                diffm = (l_iota - jax.lax.broadcasted_iota(
+                                    jnp.int32, (SUB, 128), 0)) & 127
+                                mrg = None
+                                for qq in range(128 // SUB):
+                                    tile = scr_ref[
+                                        k, pl.ds(qq * SUB, SUB), :
+                                    ]
+                                    shift0 = (qq * SUB + 3) % 128
+                                    if shift0 + SUB - 1 > 128:
+                                        # Mosaic caps a strided rotate's
+                                        # max shift at the vreg width.
+                                        tile = pltpu.roll(
+                                            tile, shift0, axis=1
+                                        )
+                                        shift0 = 0
+                                    rolled = pltpu.roll(
+                                        tile, shift0, axis=1,
+                                        stride=1, stride_axis=0,
+                                    )
+                                    msk = diffm == ((qq * SUB + 2) & 127)
+                                    mrg = (
+                                        jnp.where(msk, rolled, -(2 ** 30))
+                                        if mrg is None
+                                        else jnp.where(msk, rolled, mrg)
+                                    )
+                                flat = jnp.max(mrg, axis=0, keepdims=True)
+                                # Stand-ins for the production fixups
+                                # (j==0 seed inject + store gate).
+                                flat = jnp.where(
+                                    l_row == 0, jnp.int32(w), flat
+                                )
+                                prow = jnp.where(
+                                    c >= 2047, flat, prow
+                                )
+                            st.append(prow)
+                        elif not noprow:
                             sel_p = (tt + 2) % 128
                             bot = cell[SUB - 1:SUB, :]
                             last = pltpu.roll(
@@ -383,6 +440,10 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 out_shape=jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                scratch_shapes=(
+                    [pltpu.VMEM((K, 128, 128), jnp.int32)]
+                    if subprow else []
+                ),
                 interpret=interpret,
             )(xs_a, a, pl_a)
 
@@ -400,13 +461,18 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
         "noxcarry": {"noxcarry": True},
         "mincarry": {"noacc": True, "noprow": True, "noxcarry": True},
         "packedx": {"packedx": True},
+        "subprow": {"subprow": True},
+        "subprow_px": {"subprow": True, "packedx": True},
     }
 
-    if variants == ["__check__"]:  # CPU interpret-mode trace check
-        for name, kw in flags.items():
-            r = make_run(1, interpret=True, **kw)
+    if variants and variants[0] == "__check__":
+        # CPU interpret-mode trace check (optionally a subset: pass
+        # ["__check__", name, ...] — the full set is slow on XLA:CPU).
+        names = variants[1:] or list(flags)
+        for name in names:
+            r = make_run(1, interpret=True, **flags[name])
             np.asarray(jax.device_get(r(xs, a8, planes)))
-        return {"check": "ok"}
+        return {"check": "ok", "variants": names}
     for name in variants:
         kw = flags[name]
 

@@ -56,7 +56,7 @@ from .pallas_wavefront2 import (  # noqa: F401
     jax.jit,
     static_argnames=("R", "W", "TW", "K", "band_cols", "kind", "gap",
                      "interpret", "B", "masked", "packedx", "packedef",
-                     "remath"),
+                     "remath", "subprow"),
 )
 def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
                 haloH, haloE, adjr_loc, adjc_loc, *, R: int, W: int,
@@ -64,7 +64,7 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
                 gap: str = "linear", interpret: bool = False,
                 B: int | None = None, masked: "bool | None" = None,
                 packedx: bool = False, packedef: bool = False,
-                remath: bool = False):
+                remath: bool = False, subprow: bool = False):
     """One pass (B row blocks, K chains) over one column band, any spec.
 
     subst_planes: (B, 8, SUB, 128)  packed substitution rows for the blocks
@@ -136,6 +136,7 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
         OFF=OFF, prev_len=prev_len, B=B, kind=kind, gap=gap, banded=True,
         masked=interpret if masked is None else masked, wrap=wrap,
         packedx=packedx, packedef=packedef, remath=remath,
+        subprow=subprow,
     )
     npk = _cdiv(K, 4) if packedx else 0
     npk2 = _cdiv(K, 4) if packedef else 0
@@ -328,6 +329,11 @@ def banded_pass(subst_planes, xwin, gapo, gape, prev_row, prevF_row,
             pltpu.VMEM((K, SUB, 128), jnp.int32),  # bvs
             pltpu.VMEM((K, SUB, 128), jnp.int32),  # bcs
         ]
+    if subprow:
+        # Per-chain bottom-sublane step scratch (sprow, + sprowF).
+        scratch += [pltpu.VMEM((K, 128, 128), jnp.int32)]
+        if affine:
+            scratch += [pltpu.VMEM((K, 128, 128), jnp.int32)]
 
     outs = pl.pallas_call(
         kernel,

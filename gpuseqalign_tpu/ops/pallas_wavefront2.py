@@ -65,7 +65,8 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                  banded: bool = False, dense: bool = False,
                  masked: bool = False, wrap: bool = False,
                  packedx: bool = False, packedef: bool = False,
-                 remath: bool = False, nobc: bool = False):
+                 remath: bool = False, nobc: bool = False,
+                 subprow: bool = False):
     """Kernel factory shared by the full-matrix, batched and BANDED forms.
 
     ``banded`` (the per-device compute of the multi-chip giant engine,
@@ -148,6 +149,16 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
     # the oracle's row-major first-occurrence tie-break).
     assert not (nobc and not is_sw)
     assert not (nobc and (batch or banded or dense))
+    # subprow (ROADMAP lever #4): replace the per-step bottom-row capture
+    # (1 lane roll + 1 select per chain-step — the ~20% the noprow
+    # ablation found) with a per-step STATIC (1,128) store of the bottom
+    # sublane into a per-chain (128,128) VMEM scratch, then rebuild the
+    # flushed prow window once per 128 steps with 128/SUB STRIDED lane
+    # rolls (pltpu.roll stride=1 over sublanes spreads each SUB-row
+    # tile's lane-127 column onto consecutive destination lanes) + masked
+    # merges + one sublane max-reduce. Also frees the prow (and affine
+    # prowF) loop-carry vreg per chain. Full-matrix + banded mlsp forms.
+    assert not (subprow and (batch or dense))
     NSpad = prev_len - 128
     SPB = NSpad // W  # wrap mode: chunks per row block
     BBtot = B // K if K else 1
@@ -217,6 +228,10 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                 bcs = refs[pos]; pos += 1
         if capture_cost:
             costs_s = refs[pos]; pos += 1
+        if subprow:
+            sprow = refs[pos]; pos += 1
+            if affine:
+                sprowF = refs[pos]; pos += 1
 
         if wrap:
             # Continuous echelon: one chunk axis; chain k's row block and
@@ -396,11 +411,47 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
             last = pltpu.roll(bot, (sel_p + 1) % 128, axis=1)
             return jnp.where((l_row == sel_p) & gate, last, prow_acc)
 
+        if subprow:
+            # Lane-minus-sublane index, mod 128: the spread's destination
+            # diagonal masks below are compares against this constant.
+            diffm = (l_iota - s_iota) & 127
+
+        def sub_flush(scr, k):
+            # Rebuild the (1,128) output-row window from the per-step
+            # bottom-sublane scratch: scratch row tt holds step tt's
+            # bottom sublane, whose lane-127 element is the output-row
+            # value destined for prow lane (tt + 2) % 128. For each
+            # SUB-row tile, ONE strided lane roll (sublane s shifted by
+            # shift0 + s) lands every wanted element on its destination
+            # lane; a static diagonal mask merges the tiles and a sublane
+            # max-reduce flattens (each lane is covered by exactly one
+            # (tile, sublane), all other positions hold NEG_INF-dominated
+            # junk only after the masked merge).
+            mrg = None
+            for qq in range(128 // SUB):
+                tile = scr[k, pl.ds(qq * SUB, SUB), :]
+                shift0 = (qq * SUB + 3) % 128
+                if shift0 + SUB - 1 > 128:
+                    # Mosaic bounds a strided rotate's max per-sublane
+                    # shift at the vreg width; split the last group(s)
+                    # into a static rotate + a stride-only rotate.
+                    tile = pltpu.roll(tile, shift0, axis=1)
+                    shift0 = 0
+                rolled = pltpu.roll(
+                    tile, shift0, axis=1, stride=1, stride_axis=0,
+                )
+                msk = diffm == ((qq * SUB + 2) & 127)
+                mrg = jnp.where(
+                    msk, rolled, ninf if mrg is None else mrg
+                )
+            return jnp.max(mrg, axis=0, keepdims=True)
+
         # Plane words resident for the whole program (8 x (SUB,128) per
         # chain): the per-lane substitution row, biased bytes.
         planes = [[planes_refs[k][0, p] for p in range(8)] for k in range(K)]
-        NCAR = ((4 if packedx else 5)
-                + ((2 if packedef else 4) if affine else 0)
+        spr = 1 if subprow else 0
+        NCAR = ((4 if packedx else 5) - spr
+                + (((2 if packedef else 4) - spr) if affine else 0)
                 + ((1 if nobc else 2) if is_sw else 0)
                 + (1 if capture_cost else 0))
 
@@ -558,18 +609,30 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     tge = jnp.int32(0) if tt == 0 else ge * tt
                 for k in range(K):
                     st = vs[NCAR * k: NCAR * (k + 1)]
+                    prow = prowF = None
                     if packedx:
-                        v1, sh1p, acc, prow = st[:4]
+                        if subprow:
+                            v1, sh1p, acc = st[:3]
+                            nhdr = 3
+                        else:
+                            v1, sh1p, acc, prow = st[:4]
+                            nhdr = 4
+                    elif subprow:
+                        v1, sh1p, xd, acc = st[:4]
                         nhdr = 4
                     else:
                         v1, sh1p, xd, acc, prow = st[:5]
                         nhdr = 5
                     if affine:
-                        if packedef:
+                        if packedef and subprow:
+                            accE = st[nhdr]
+                        elif packedef:
                             accE, prowF = st[nhdr:nhdr + 2]
+                        elif subprow:
+                            e1, f1, accE = st[nhdr:nhdr + 3]
                         else:
                             e1, f1, accE, prowF = st[nhdr:nhdr + 4]
-                    naff = (2 if packedef else 4) if affine else 0
+                    naff = ((2 if packedef else 4) - spr) if affine else 0
                     nbase = nhdr + naff
                     if is_sw:
                         bv = st[nbase]
@@ -772,10 +835,23 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
 
                     # --- output-row capture (H[(b+1)R, j], F likewise) ---
                     sel_p = (tt + 2) % 128
-                    gate = c >= R - 1
-                    prow = bot_capture(cell, prow, sel_p, gate)
-                    if affine:
-                        prowF = bot_capture(f_new, prowF, sel_p, gate)
+                    if subprow:
+                        # Static bottom-sublane store; the flushed window
+                        # is rebuilt from the scratch below (sub_flush) —
+                        # no per-step lane roll, no prow loop carry. The
+                        # per-step `gate` (c >= R-1) is subsumed by the
+                        # flush gate cwk >= R except for the two-step
+                        # window overlap at cwk == R, fixed up below.
+                        sprow[k, pl.ds(tt, 1), :] = cell[SUB - 1:SUB, :]
+                        if affine:
+                            sprowF[k, pl.ds(tt, 1), :] = (
+                                f_new[SUB - 1:SUB, :]
+                            )
+                    else:
+                        gate = c >= R - 1
+                        prow = bot_capture(cell, prow, sel_p, gate)
+                        if affine:
+                            prowF = bot_capture(f_new, prowF, sel_p, gate)
                     if sel_p == 127:
                         cwk = jnp.maximum(clocs[k], 0)
 
@@ -786,8 +862,26 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         def _(prow=prow, prowF=(prowF if affine else None),
                               cwk=cwk, k=k):
                             jb = pl.multiple_of(cwk - R, 128)
+                            if subprow:
+                                # Scratch rows 0..125 were written this
+                                # window, 126/127 by the previous one —
+                                # exactly the two-step overlap the rolled
+                                # prow accumulator carried. At jb == 0
+                                # lane 0 is the seeded j == 0 header
+                                # element (init_chain wrote it into the
+                                # prows slot), not step c == R-2 junk.
+                                prow = sub_flush(sprow, k)
+                                first = (l_row == 0) & (cwk == R)
+                                prow = jnp.where(
+                                    first, prows[k][0:1, :], prow
+                                )
                             prevb[k][0:1, pl.ds(jb, 128)] = prow
                             if affine:
+                                if subprow:
+                                    prowF = sub_flush(sprowF, k)
+                                    prowF = jnp.where(
+                                        first, jnp.int32(ninf), prowF
+                                    )
                                 prevf[k][0:1, pl.ds(jb, 128)] = prowF
 
                     # --- tile-header-column capture (flush BEFORE update,
@@ -807,11 +901,12 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     if affine:
                         accE = jnp.where(i2d == sel, e_new, accE)
 
-                    st = ([cell, sh1, acc, prow] if packedx
-                          else [cell, sh1, xd, acc, prow])
+                    st = [cell, sh1] + ([] if packedx else [xd]) + [acc]
+                    if not subprow:
+                        st += [prow]
                     if affine:
-                        st += ([accE, prowF] if packedef
-                               else [e_new, f_new, accE, prowF])
+                        st += [] if packedef else [e_new, f_new]
+                        st += [accE] if subprow else [accE, prowF]
                     if is_sw:
                         st += ([bv] if nobc else [bv, bc])
                     if capture_cost:
@@ -821,13 +916,11 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
 
         init = []
         for k in range(K):
-            if packedx:
-                init += [v1s[k], shps[k], accs[k], prows[k]]
-            else:
-                init += [v1s[k], shps[k], xds[k], accs[k], prows[k]]
+            init += [v1s[k], shps[k]] + ([] if packedx else [xds[k]])
+            init += [accs[k]] + ([] if subprow else [prows[k]])
             if affine:
-                init += ([accEs[k], prowFs[k]] if packedef
-                         else [e1s[k], f1s[k], accEs[k], prowFs[k]])
+                init += [] if packedef else [e1s[k], f1s[k]]
+                init += [accEs[k]] if subprow else [accEs[k], prowFs[k]]
             if is_sw:
                 init += ([bvs[k]] if nobc else [bvs[k], bcs[k]])
             if capture_cost:
@@ -838,28 +931,27 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
             init += [des[p] for p in range(npk2)]
             init += [dfs[p] for p in range(npk2)]
         out = jax.lax.fori_loop(0, n_win, window_body, tuple(init))
-        nhdr = 4 if packedx else 5
-        nbase = nhdr + ((2 if packedef else 4) if affine else 0)
+        nhdr = (4 if packedx else 5) - spr
+        nbase = nhdr + (((2 if packedef else 4) - spr) if affine else 0)
         for k in range(K):
             st = out[NCAR * k: NCAR * (k + 1)]
             v1s[k] = st[0]
             shps[k] = st[1]
-            if packedx:
-                accs[k] = st[2]
-                prows[k] = st[3]
-            else:
-                xds[k] = st[2]
-                accs[k] = st[3]
-                prows[k] = st[4]
+            n = 2
+            if not packedx:
+                xds[k] = st[n]
+                n += 1
+            accs[k] = st[n]
+            n += 1
+            if not subprow:
+                prows[k] = st[n]
             if affine:
-                if packedef:
-                    accEs[k] = st[nhdr]
-                    prowFs[k] = st[nhdr + 1]
-                else:
+                if not packedef:
                     e1s[k] = st[nhdr]
                     f1s[k] = st[nhdr + 1]
-                    accEs[k] = st[nhdr + 2]
-                    prowFs[k] = st[nhdr + 3]
+                accEs[k] = st[nhdr + (0 if packedef else 2)]
+                if not subprow:
+                    prowFs[k] = st[nhdr + (1 if packedef else 3)]
             if is_sw:
                 bvs[k] = st[nbase]
                 if not nobc:
@@ -990,13 +1082,13 @@ def wrap_interleave(parts, BBtot: int, K: int, tail: tuple):
 @functools.partial(
     jax.jit,
     static_argnames=("R", "W", "TW", "K", "kind", "gap", "interpret",
-                     "packedx", "packedef", "remath", "nobc"),
+                     "packedx", "packedef", "remath", "nobc", "subprow"),
 )
 def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
                    TW: int, K: int, kind: str = "nw", gap: str = "linear",
                    interpret: bool = False, packedx: bool = False,
                    packedef: bool = False, remath: bool = False,
-                   nobc: bool = False):
+                   nobc: bool = False, subprow: bool = False):
     """Sparse fill v2 for any spec. Returns a dict:
 
     hrow: (B, prev_len)         row (b+1)*R of H (indexed by global j)
@@ -1054,7 +1146,7 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
         K=K, SUB=SUB, W=W, CH=CH, cols_p=cols_p, R=R, TW=TW, OFF=OFF,
         prev_len=prev_len, B=B, kind=kind, gap=gap,
         masked=interpret, wrap=use_wrap, packedx=packedx,
-        packedef=packedef, remath=remath, nobc=nobc,
+        packedef=packedef, remath=remath, nobc=nobc, subprow=subprow,
     )
     npk = _cdiv(K, 4) if packedx else 0
     npk2 = _cdiv(K, 4) if packedef else 0
@@ -1189,6 +1281,11 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
         scratch += [pltpu.VMEM((K, SUB, 128), jnp.int32)]  # bvs
         if not nobc:
             scratch += [pltpu.VMEM((K, SUB, 128), jnp.int32)]  # bcs
+    if subprow:
+        # Per-chain bottom-sublane step scratch (sprow, + sprowF).
+        scratch += [pltpu.VMEM((K, 128, 128), jnp.int32)]
+        if affine:
+            scratch += [pltpu.VMEM((K, 128, 128), jnp.int32)]
 
     outs = pl.pallas_call(
         kernel,
@@ -1568,7 +1665,7 @@ def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
                   affine: bool, is_sw: bool,
                   capture_cost: bool = False,
                   packedx: bool = False, packedef: bool = False,
-                  nobc: bool = False) -> int:
+                  nobc: bool = False, subprow: bool = False) -> int:
     """Analytic VMEM peak of one v2/banded pallas_call — the TPU analog of
     the reference's occupancy-based shared-memory accounting
     (ref: src/nwalign_shared.cpp:5-25). Sums the static scratch_shapes
@@ -1587,6 +1684,8 @@ def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
         scratch += (1 if nobc else 2) * K * blk      # bvs (+bcs)
     if capture_cost:
         scratch += K * blk
+    if subprow:
+        scratch += (2 if affine else 1) * K * 128 * 128 * i32  # sprow(F)
     ins = K * 8 * blk + nxd * W * i32                # planes + xwin blocks
     outs = K * (prev_len * i32 + blk)                # hrow + hcol blocks
     if affine:
@@ -1601,14 +1700,15 @@ def v2_vmem_bytes(*, K: int, SUB: int, prev_len: int, W: int,
 def v2_regmem_bytes(*, K: int, SUB: int, affine: bool, is_sw: bool,
                     capture_cost: bool = False,
                     packedx: bool = False, packedef: bool = False,
-                    nobc: bool = False) -> int:
+                    nobc: bool = False, subprow: bool = False) -> int:
     """Per-chain carry state held in vector registers across the hot loop
     (the regmem analog of the reference's cudaFuncAttributes register
     accounting): NCAR (SUB, 128) int32 vectors per chain, plus the
     ceil(K/4) shared byte-packed letter carries under packedx and the
     2*ceil(K/4) shared E/F delta words under packedef."""
-    ncar = ((4 if packedx else 5)
-            + ((2 if packedef else 4) if affine else 0)
+    spr = 1 if subprow else 0
+    ncar = ((4 if packedx else 5) - spr
+            + (((2 if packedef else 4) - spr) if affine else 0)
             + ((1 if nobc else 2) if is_sw else 0)
             + (1 if capture_cost else 0))
     shared = (_cdiv(K, 4) if packedx else 0) \
@@ -1739,15 +1839,17 @@ def tuned_defaults(kind: str, gap: str, allow_packedx: bool = False) -> dict:
     ent.setdefault("packedef", 0)
     ent.setdefault("rematHdr", 0)
     ent.setdefault("noBc", 0)
+    ent.setdefault("subProw", 0)
     if not allow_packedx and (ent["packedx"] or ent["packedef"]
-                              or ent["rematHdr"] or ent["noBc"]):
-        # packedef/rematHdr/noBc share packedx's constraint: full-matrix
-        # mlsp kernel forms only.
+                              or ent["rematHdr"] or ent["noBc"]
+                              or ent["subProw"]):
+        # packedef/rematHdr/noBc/subProw share packedx's constraint:
+        # full-matrix mlsp kernel forms only.
         ent["kChains"] = min(
             int(ent["kChains"]), K_MAX_DEFAULT[(kind, gap)]
         )
         ent["packedx"] = ent["packedef"] = ent["rematHdr"] = 0
-        ent["noBc"] = 0
+        ent["noBc"] = ent["subProw"] = 0
     return ent
 
 
@@ -1885,6 +1987,8 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     remath = bool(tuned.get("rematHdr", 0)) if rm is None else bool(rm)
     nb = pr.get("noBc", None)
     nobc = (bool(tuned.get("noBc", 0)) if nb is None else bool(nb)) and is_sw
+    sp = pr.get("subProw", None)
+    subprow = bool(tuned.get("subProw", 0)) if sp is None else bool(sp)
     K = choose_k(trows, k_max)
     trows_p = _cdiv(trows, K) * K  # pad row blocks so B % K == 0
     rows_p = trows_p * R
@@ -1911,6 +2015,7 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
                 kind=spec.kind.value, gap=spec.gap.value,
                 interpret=interpret, packedx=packedx,
                 packedef=packedef, remath=remath, nobc=nobc,
+                subprow=subprow,
             )
             jax.block_until_ready(out_d)
             break
@@ -1947,11 +2052,11 @@ def align_mlsp_v2(pr: AlgParams, nw: AlgInput, res: AlgResult,
     res.shmem_peak_allocs = max(res.shmem_peak_allocs, v2_vmem_bytes(
         K=K, SUB=SUBv, prev_len=NSpadv + 128, W=W,
         affine=affine, is_sw=is_sw, packedx=packedx, packedef=packedef,
-        nobc=nobc,
+        nobc=nobc, subprow=subprow,
     ))
     res.regmem_peak_allocs = max(res.regmem_peak_allocs, v2_regmem_bytes(
         K=K, SUB=SUBv, affine=affine, is_sw=is_sw, packedx=packedx,
-        packedef=packedef, nobc=nobc,
+        packedef=packedef, nobc=nobc, subprow=subprow,
     ))
 
     ninf = np.int32(NEG_INF_I32)

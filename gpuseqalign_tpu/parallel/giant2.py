@@ -68,8 +68,11 @@ def _wrap_validated() -> bool:
     return _WRAP_TPU_VALIDATED or tuned_flag("wrap_tpu_validated")
 
 
-def _kernel_flags(pr: AlgParams, spec) -> "tuple[int, bool, bool, bool]":
-    """(K_override, packedx, packedef, remath) for the banded kernel.
+def _kernel_flags(
+    pr: AlgParams, spec
+) -> "tuple[int, bool, bool, bool, bool]":
+    """(K_override, packedx, packedef, remath, subprow) for the banded
+    kernel.
 
     Explicit params always win. Otherwise, on a real TPU, the tuned
     cache's per-spec ``banded`` sub-entry applies once the on-chip
@@ -81,8 +84,9 @@ def _kernel_flags(pr: AlgParams, spec) -> "tuple[int, bool, bool, bool]":
     px = pr.get("packedx", None)
     pe = pr.get("packedef", None)
     rm = pr.get("rematHdr", None)
+    sp = pr.get("subProw", None)
     k_b = 0
-    if px is None and pe is None and rm is None:
+    if px is None and pe is None and rm is None and sp is None:
         try:
             from ..ops.pallas_wavefront2 import tuned_cache, tuned_flag
 
@@ -94,10 +98,12 @@ def _kernel_flags(pr: AlgParams, spec) -> "tuple[int, bool, bool, bool]":
                 px = ent.get("packedx", 0)
                 pe = ent.get("packedef", 0)
                 rm = ent.get("rematHdr", 0)
+                sp = ent.get("subProw", 0)
                 k_b = int(ent.get("kChains", 0))
         except Exception:
             pass
-    return k_b, bool(px or 0), bool(pe or 0), bool(rm or 0)
+    return (k_b, bool(px or 0), bool(pe or 0), bool(rm or 0),
+            bool(sp or 0))
 
 
 def pick_kb(n_blocks, K: int, D: int, *, R: int, W: int,
@@ -138,7 +144,7 @@ def pick_kb(n_blocks, K: int, D: int, *, R: int, W: int,
     static_argnames=(
         "mesh", "axis", "R", "W", "TW", "K", "band_cols", "n_pass",
         "kind", "gap", "interpret", "KB", "masked", "packedx",
-        "packedef", "remath",
+        "packedef", "remath", "subprow",
     ),
 )
 def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
@@ -147,7 +153,8 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
                 gap: str = "linear", interpret: bool = False, KB: int = 1,
                 pass2pair=None, pass2local=None,
                 masked: "bool | None" = None, packedx: bool = False,
-                packedef: bool = False, remath: bool = False):
+                packedef: bool = False, remath: bool = False,
+                subprow: bool = False):
     """Distributed sparse fill, any spec — one pair or a PIPELINED STREAM
     of pairs (align_giant2_stream): the scan runs sum(n_pass_i) + D - 1
     steps total, so the cross-device fill/drain bubble (D - 1 steps) is
@@ -272,6 +279,7 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
                 R=R, W=W, TW=TW, K=K, band_cols=band_cols, kind=kind,
                 gap=gap, interpret=interpret, B=BL, masked=masked,
                 packedx=packedx, packedef=packedef, remath=remath,
+                subprow=subprow,
             )
             edge_top = prev_in[band_cols]
             rightH = out["hcol"][:, jtE].reshape(BL * R)
@@ -400,7 +408,7 @@ def align_giant2(
     rows = nw.adjrows - 1
     cols = nw.adjcols - 1
     R, TW, K = _tile_params(pr, spec)
-    k_b, packedx, packedef, remath = _kernel_flags(pr, spec)
+    k_b, packedx, packedef, remath, subprow = _kernel_flags(pr, spec)
     if k_b and not pr.get("kChains", 0):
         K = k_b
     packedef = packedef and affine and -255 <= nw.gapo_cost <= 0
@@ -463,6 +471,7 @@ def align_giant2(
         band_cols=band_cols, n_pass=n_pass, KB=KB,
         kind=spec.kind.value, gap=spec.gap.value, interpret=interpret,
         masked=masked, packedx=packedx, packedef=packedef, remath=remath,
+        subprow=subprow,
     )
     jax.block_until_ready(out_d)
     sw.lap("align.calc")
@@ -657,7 +666,7 @@ def align_giant2_stream(
         t_ref = now
 
     R, TW, K = _tile_params(pr, spec)
-    k_b, packedx, packedef, remath = _kernel_flags(pr, spec)
+    k_b, packedx, packedef, remath, subprow = _kernel_flags(pr, spec)
     if k_b and not pr.get("kChains", 0):
         K = k_b
     packedef = packedef and affine and -255 <= gapo <= 0
@@ -719,6 +728,7 @@ def align_giant2_stream(
         band_cols=band_cols, n_pass=total_pass, KB=KB,
         kind=spec.kind.value, gap=spec.gap.value, interpret=interpret,
         masked=masked, packedx=packedx, packedef=packedef, remath=remath,
+        subprow=subprow,
         pass2pair=p2p, pass2local=p2l,
     )
     jax.block_until_ready(out_d)

@@ -508,6 +508,15 @@ def test_v2_packedx_matches_base(blosum62, rng, rows, cols, R, W, TW, K,
          dict(packedx=True, packedef=True, remath=True)),
         (290, 300, 128, 128, 256, 5, "sw_ag",
          dict(packedx=True, packedef=True, remath=True)),
+        # subprow: per-step bottom-sublane scratch store + per-window
+        # strided-roll prow rebuild (ROADMAP lever #4) — prow/prowF
+        # leave the loop carry, so every spec's output-row stream (and
+        # affine's F rows) must still match bit-exactly, both grid modes.
+        (300, 900, 128, 128, 128, 2, "nw_lg", dict(subprow=True)),
+        (290, 300, 128, 128, 256, 5, "nw_ag", dict(subprow=True)),
+        (400, 300, 128, 128, 128, 2, "sw_lg", dict(subprow=True)),
+        (300, 900, 128, 128, 128, 2, "sw_ag",
+         dict(packedx=True, packedef=True, remath=True, subprow=True)),
     ],
 )
 def test_v2_packedef_remath_matches_base(blosum62, rng, rows, cols, R, W,

@@ -209,6 +209,11 @@ class TestGiant2:
                           "rematHdr": [1]}),
             # packedef alone, K=5 spans two packed groups
             ("sw_ag", 5, {"packedef": [1]}),
+            # subProw: scratch-store bottom-row capture + strided-roll
+            # window rebuild (round 4), linear + affine (prow AND prowF)
+            ("nw_lg", 2, {"subProw": [1]}),
+            ("sw_ag", 2, {"packedx": [1], "packedef": [1],
+                          "subProw": [1]}),
         ],
     )
     def test_banded_v2_flags(self, rng, blosum62, spec_name, k, flags):
@@ -225,6 +230,7 @@ class TestGiant2:
         [
             ("nw_ag", {"packedx": [1], "packedef": [1], "rematHdr": [1]}),
             ("sw_lg", {"packedx": [1], "rematHdr": [1]}),
+            ("nw_ag", {"subProw": [1]}),
         ],
     )
     def test_banded_v2_flags_wrap(self, rng, blosum62, spec_name, flags):
