@@ -43,10 +43,10 @@ GAPO, GAPE = -11, -2
 
 
 def _kernel_params():
-    """(R, W, TW, K, packedx, packedef, remath) for the benched spec —
-    from the autotuner cache (resrc/tuned/<device_kind>.json, written by
-    `python -m gpuseqalign_tpu.bench.autotune --save-defaults`), with the
-    measured v5e literals as fallback."""
+    """(R, W, TW, K, packedx, packedef, remath, subprow) for the benched
+    spec — from the autotuner cache (resrc/tuned/<device_kind>.json,
+    written by `python -m gpuseqalign_tpu.bench.autotune
+    --save-defaults`), with the measured v5e literals as fallback."""
     from gpuseqalign_tpu.ops.pallas_wavefront2 import tuned_defaults
 
     ent = tuned_defaults(KIND, GAP, allow_packedx=True)
@@ -57,25 +57,35 @@ def _kernel_params():
     if TW % W or W % 128:
         W = min(512, TW)
     return (R, W, TW, K, bool(ent.get("packedx", 0)),
-            bool(ent.get("packedef", 0)), bool(ent.get("rematHdr", 0)))
+            bool(ent.get("packedef", 0)), bool(ent.get("rematHdr", 0)),
+            bool(ent.get("subProw", 0)))
 
 
 # Set in main() from the tuned cache.
-R, W, TW, K, PACKEDX, PACKEDEF, REMATH = 2048, 512, 2048, 4, False, False, \
-    False
+R, W, TW, K, PACKEDX, PACKEDEF, REMATH, SUBPROW = \
+    2048, 512, 2048, 4, False, False, False, False
 
-# Measured skeleton rooflines (GCUPS/chip on the v5e) at the kernel's own
-# K_max — the sustained rate of the irreducible wavefront step (carry
-# rolls + max-plus DP) with lookup/masks/captures removed. Derivation and
-# reproduction: ROOFLINE.md / gpuseqalign_tpu/bench/vpu_probe.py.
+# Measured rooflines (GCUPS/chip on the v5e) — the fastest measured rate
+# of the FAITHFUL production step body (lookup + carries + captures,
+# 128-step-unrolled, no grid/window/HBM machinery) at the kernel's own
+# K_max. Round 4 superseded the sparse skeleton as the linear
+# denominator: the subprow step body measures 183.9 GCUPS at K=6 while
+# the skeleton plateaus at ~104 — the skeleton has too little ILP per
+# step to fill the issue slots and is latency-bound, so it was never a
+# ceiling. Derivation and reproduction: ROOFLINE.md §7 /
+# gpuseqalign_tpu/bench/vpu_probe.py (fullstep probe, /tmp/probe_b.log
+# checked into ROOFLINE.md).
 ROOFLINE_GCUPS = {
-    ("nw", "linear"): 107.8,   # skeleton @ K=6
-    ("sw", "linear"): 107.8,
-    # affine skeleton @ K=6 — the packed E/F delta carries (packedef)
-    # raised the affine K_max from 4 to 6, so the denominator rises from
-    # 70.6 (K=4) with it.
-    ("nw", "affine"): 89.4,
-    ("sw", "affine"): 89.4,
+    ("nw", "linear"): 183.9,   # fullstep subprow body @ K=6 (2026-08-20)
+    # SW body measures FASTER per cell than the linear body it extends
+    # (more ILP per step; within-window ratio 1.114 via the sw_nobc_sp
+    # probe) — ROOFLINE.md §7.1.
+    ("sw", "linear"): 204.8,
+    # Affine fullstep body (packedef, K=6): within-window ratio 0.818 of
+    # the linear subprow body — ROOFLINE.md §7.1. sw_ag shares it (no
+    # SW-affine body probe yet; provisional).
+    ("nw", "affine"): 150.4,
+    ("sw", "affine"): 150.4,
 }
 
 
@@ -128,6 +138,7 @@ def _bench_tpu_v2(subst, seq) -> float:
                 jnp.int32(n + 1), jnp.int32(n + 1),
                 R=R, W=W, TW=TW, K=K, kind=KIND, gap=GAP,
                 packedx=PACKEDX, packedef=PACKEDEF, remath=REMATH,
+                subprow=SUBPROW,
             )
             return out["hrow"][0, 0], None
 
@@ -210,8 +221,8 @@ def main() -> int:
     from gpuseqalign_tpu.core.types import AlgInput, AlgParams, AlgResult, Status
     from gpuseqalign_tpu.models.cpu_algs import align_cpu1_st_row
 
-    global R, W, TW, K, PACKEDX, PACKEDEF, REMATH
-    R, W, TW, K, PACKEDX, PACKEDEF, REMATH = _kernel_params()
+    global R, W, TW, K, PACKEDX, PACKEDEF, REMATH, SUBPROW
+    R, W, TW, K, PACKEDX, PACKEDEF, REMATH, SUBPROW = _kernel_params()
     subst, y = _load_fixture()
     on_tpu = tpu_up and jax.default_backend() == "tpu"
     rows = cols = len(y) - 1

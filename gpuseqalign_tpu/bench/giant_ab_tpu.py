@@ -90,7 +90,18 @@ def main(argv) -> int:
             outs = []
             for _ in range(2):  # first call compiles; time the second
                 res = AlgResult()
-                stat = align_giant2(AlgParams(params), nw, res, mesh=mesh)
+                # A candidate can fail to COMPILE at the giant regime
+                # (e.g. sw_ag K=6 px+pe+subProw: scoped-VMEM OOM from
+                # the bv/bc + subprow scratches at band width ~100k) —
+                # skip it instead of aborting the sweep.
+                try:
+                    stat = align_giant2(
+                        AlgParams(params), nw, res, mesh=mesh
+                    )
+                except Exception as e:
+                    print(f"  candidate failed: {type(e).__name__}",
+                          flush=True)
+                    return None, None, float("nan")
                 if stat != Status.success:
                     return None, None, float("nan")
                 outs.append(res)

@@ -222,6 +222,10 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                 lane-127 column onto consecutive destination lanes) +
                 masked merges + one sublane max-reduce. 128 -> 8 lane
                 rolls per window per chain; ROADMAP lever #4.
+      sw_sp     the SW body (zero clamp + folded-guard bv/bc argmax
+                capture, +2 carries) on top of subprow — the sw_lg
+                roofline denominator; sw_nobc_sp drops the bc carry
+                (value-only capture, host-side column recovery).
     """
     variants = variants or ["base", "nolookup", "lookup6", "smemx",
                             "noheader", "lean"]
@@ -233,7 +237,7 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
     def make_run(m, *, nolookup=False, planes6=False, smemx=False,
                  noheader=False, noacc=False, noprow=False,
                  noxcarry=False, packedx=False, subprow=False,
-                 interpret=False):
+                 sw=False, nobc=False, interpret=False):
         def kernel(xs_ref, a_ref, planes_ref, o_ref, *scratch):
             scr_ref = scratch[0] if subprow else None
             a = a_ref[...]
@@ -254,12 +258,23 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                 return jnp.where(i2d == 0, f, out)
 
             NC = 5 - int(noxcarry or packedx) - int(noacc) - int(noprow)
+            if sw:
+                NC += 1 if nobc else 2
             npk = (K + 3) // 4 if packedx else 0
 
             def body(w, carry):
                 vs = list(carry)
                 clocs = [w * 128 + 511 - k for k in range(K)]
                 selbs = [jnp.mod(clocs[k] + 1, 2048) for k in range(K)]
+                if sw:
+                    # Folded argmax guard precompute (production: i2ws,
+                    # one unsigned range compare per step).
+                    i2ws = [
+                        jnp.where(i2d <= 2046, i2d - clocs[k],
+                                  jnp.int32(1 << 30))
+                        for k in range(K)
+                    ]
+                    bndu = jnp.uint32(2046)
                 for tt in range(128):
                     if packedx:
                         # One packed shift register per 4 chains: a single
@@ -274,7 +289,7 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                         st = list(vs[NC * k: NC * (k + 1)])
                         v1, sh1p = st[0], st[1]
                         n = 2
-                        xd = acc = prow = None
+                        xd = acc = prow = bv = bc = None
                         if not (noxcarry or packedx):
                             xd = st[n]
                             n += 1
@@ -283,6 +298,11 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                             n += 1
                         if not noprow:
                             prow = st[n]
+                            n += 1
+                        if sw:
+                            bv = st[n]
+                            if not nobc:
+                                bc = st[n + 1]
                         c = clocs[k] + tt
                         # --- substitution operand ---
                         if packedx:
@@ -344,6 +364,18 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                         cell = jnp.maximum(
                             diag + s, jnp.maximum(sh1, left) + g
                         )
+                        if sw:
+                            # Zero clamp + folded-guard argmax capture
+                            # (production: is_sw branch of the hot loop).
+                            cell = jnp.maximum(cell, 0)
+                            uu = (tt - i2ws[k]).astype(jnp.uint32)
+                            if nobc:
+                                cellm = jnp.where(uu <= bndu, cell, 0)
+                                bv = jnp.maximum(bv, cellm)
+                            else:
+                                upd = (cell > bv) & (uu <= bndu)
+                                bv = jnp.where(upd, cell, bv)
+                                bc = jnp.where(upd, c, bc)
                         # --- captures ---
                         st = [cell, sh1]
                         if not (noxcarry or packedx):
@@ -409,6 +441,10 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                                 (l_row == sel_p) & (c >= 2047), last, prow
                             )
                             st.append(prow)
+                        if sw:
+                            st.append(bv)
+                            if not nobc:
+                                st.append(bc)
                         vs[NC * k: NC * (k + 1)] = st
                 return tuple(vs)
 
@@ -421,6 +457,10 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                     init.append(a)
                 if not noprow:
                     init.append(a[0:1, :])
+                if sw:
+                    init.append(a + 5)
+                    if not nobc:
+                        init.append(a + 6)
             for p in range(npk):
                 init.append((a + p) & 31)
             out = jax.lax.fori_loop(0, m, body, tuple(init))
@@ -463,6 +503,10 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
         "packedx": {"packedx": True},
         "subprow": {"subprow": True},
         "subprow_px": {"subprow": True, "packedx": True},
+        # SW body variants: zero clamp + folded-guard argmax capture on
+        # top of the linear step — the sw_lg roofline denominators.
+        "sw_sp": {"sw": True, "subprow": True},
+        "sw_nobc_sp": {"sw": True, "nobc": True, "subprow": True},
     }
 
     if variants and variants[0] == "__check__":
@@ -486,6 +530,382 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
             "ns_per_chain_step": round(ns_step, 3),
             "gcups": round(K * SUB * 128 * 128 / dt / 1e9, 2),
         }
+    return res
+
+
+def probe_fullstep_affine(K: int = 6, variants=None) -> dict:
+    """The PRODUCTION nw_ag (Gotoh affine) step body, 128-step-unrolled —
+    the affine analog of probe_fullstep, so the affine roofline
+    denominator is a measured faithful-body rate instead of the
+    latency-bound skeleton (ROOFLINE.md §7 found the linear skeleton
+    measures BELOW the production body; this probe closes the same gap
+    for affine). Variants mirror the production lever set
+    (ops/pallas_wavefront2.py):
+
+      base      unpacked per-chain E/F carries (e1, f1: fillF roll + shF
+                shift2 + 2 max/add each) + per-step prow/prowF bot-capture
+                rolls — 9 (SUB,128) carries/chain
+      pe        packedef: E/F as byte deltas de/df off the H carries,
+                4 chains per packed word (de: extract + sub/add, no carry;
+                df: ONE shift2 + fill roll per word per step + extract),
+                produce-time clip+pack — 7 carries/chain + 2*ceil(K/4)
+      sp        subprow: bottom-sublane static stores + once-per-window
+                strided-roll rebuild for BOTH prow and prowF (two
+                (K,128,128) scratches); drops both capture carries
+      pe_sp     packedef + subprow — 5 carries/chain + shared words
+      pe_px_sp  + packedx (packed xd shift register across chains) —
+                4 carries/chain; the production nw_ag tuned config
+    """
+    variants = variants or ["base", "pe", "pe_sp", "pe_px_sp"]
+    a8 = jnp.ones((SUB, 128), jnp.int32)
+    planes = jnp.ones((8, SUB, 128), jnp.int32)
+    res = {}
+
+    def make_run(m, *, pe=False, px=False, sp=False, interpret=False):
+        def kernel(a_ref, planes_ref, o_ref, *scratch):
+            pos = 0
+            sprow = sprowF = prow_out = None
+            if sp:
+                sprow = scratch[pos]
+                sprowF = scratch[pos + 1]
+                prow_out = scratch[pos + 2]
+                pos += 3
+            a = a_ref[...]
+            g = jnp.int32(-11)
+            ge = jnp.int32(-2)
+            l_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
+            l_row = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            s_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
+            i2d = s_iota * 128 + l_iota
+            P = [planes_ref[p] for p in range(8)]
+            pw = a[0:1, :]
+
+            def shift2(v, f):
+                b = pltpu.roll(v, 1, axis=1)
+                c = pltpu.roll(b, 1, axis=0)
+                out = jnp.where(l_iota == 0, c, b)
+                return jnp.where(i2d == 0, f, out)
+
+            # Per-chain carries: v1, sh1p, (xd), acc, accE,
+            # (e1, f1 unless pe), (prow, prowF unless sp).
+            NC = (3 if px else 4) + 1 + (0 if pe else 2) + (0 if sp else 2)
+            npk = (K + 3) // 4 if px else 0
+            npk2 = (K + 3) // 4 if pe else 0
+
+            def sub_flush(scr, k):
+                diffm = (l_iota - s_iota) & 127
+                mrg = None
+                for qq in range(128 // SUB):
+                    tile = scr[k, pl.ds(qq * SUB, SUB), :]
+                    shift0 = (qq * SUB + 3) % 128
+                    if shift0 + SUB - 1 > 128:
+                        tile = pltpu.roll(tile, shift0, axis=1)
+                        shift0 = 0
+                    rolled = pltpu.roll(
+                        tile, shift0, axis=1, stride=1, stride_axis=0,
+                    )
+                    msk = diffm == ((qq * SUB + 2) & 127)
+                    mrg = jnp.where(
+                        msk, rolled,
+                        -(2 ** 30) if mrg is None else mrg,
+                    )
+                return jnp.max(mrg, axis=0, keepdims=True)
+
+            def body(w, carry):
+                vs = list(carry)
+                clocs = [w * 128 + 511 - k for k in range(K)]
+                selbs = [jnp.mod(clocs[k] + 1, 2048) for k in range(K)]
+                for tt in range(128):
+                    if px:
+                        for p in range(npk):
+                            fillp = (
+                                pltpu.roll(a + p, 128 - tt, axis=1)
+                                if tt else (a + p)
+                            )
+                            vs[NC * K + p] = shift2(vs[NC * K + p], fillp)
+                    if pe:
+                        # F deltas cross rows like f1 did: one shift2 +
+                        # fill roll per packed word per step.
+                        for p in range(npk2):
+                            dfill = pltpu.roll(a + p, 127 - tt, axis=1)
+                            slot = NC * K + npk + npk2 + p
+                            vs[slot] = shift2(vs[slot], dfill)
+                    newde = newdf = None
+                    for k in range(K):
+                        st = list(vs[NC * k: NC * (k + 1)])
+                        v1, sh1p = st[0], st[1]
+                        n = 2
+                        if not px:
+                            xd = st[n]
+                            n += 1
+                        acc = st[n]
+                        accE = st[n + 1]
+                        n += 2
+                        if not pe:
+                            e1, f1 = st[n], st[n + 1]
+                            n += 2
+                        if not sp:
+                            prow, prowF = st[n], st[n + 1]
+                        c = clocs[k] + tt
+                        # --- substitution operand + packed lookup ---
+                        if px:
+                            xd = vs[NC * K + k // 4]
+                            if k % 4:
+                                xd = xd >> ((k % 4) * 8)
+                            xd = xd & 255
+                        else:
+                            fillx = (
+                                pltpu.roll(a, 128 - tt, axis=1)
+                                if tt else a
+                            )
+                            xd = shift2(xd, fillx)
+                        wi = xd >> 2
+                        b0 = (wi & 1) > 0
+                        b1 = (wi & 2) > 0
+                        b2 = (wi & 4) > 0
+                        t01 = jnp.where(b0, P[1], P[0])
+                        t23 = jnp.where(b0, P[3], P[2])
+                        t45 = jnp.where(b0, P[5], P[4])
+                        t67 = jnp.where(b0, P[7], P[6])
+                        q0 = jnp.where(b1, t23, t01)
+                        q1 = jnp.where(b1, t67, t45)
+                        word = jnp.where(b2, q1, q0)
+                        s = ((word >> ((xd & 3) << 3)) & 255) - 128
+                        # --- DP step (Gotoh) ---
+                        fill1 = pltpu.roll(pw, 127 - tt, axis=1)
+                        sh1 = shift2(v1, fill1)
+                        diag = jnp.where(i2d == c, c + g, sh1p)
+                        if pe:
+                            de = vs[NC * K + npk + k // 4]
+                            if k % 4:
+                                de = de >> ((k % 4) * 8)
+                            de = de & 255
+                            e_new = v1 + ge - de
+                            e_new = jnp.where(i2d == c, c * g, e_new)
+                            dfw = vs[NC * K + npk + npk2 + k // 4]
+                            if k % 4:
+                                dfw = dfw >> ((k % 4) * 8)
+                            f_new = sh1 + ge - (dfw & 255)
+                        else:
+                            e_new = jnp.maximum(e1, v1 + g) + ge
+                            e_new = jnp.where(i2d == c, c * g, e_new)
+                            fillF = pltpu.roll(pw, (126 - tt) % 128,
+                                               axis=1)
+                            shF = shift2(f1, fillF)
+                            f_new = jnp.maximum(shF, sh1 + g) + ge
+                        cell = jnp.maximum(
+                            diag + s, jnp.maximum(e_new, f_new)
+                        )
+                        if pe:
+                            de_new = jnp.clip(cell - e_new, 0, -g)
+                            df_new = jnp.clip(cell - f_new, 0, -g)
+                            qq = k % 4
+                            if qq == 0:
+                                newde, newdf = de_new, df_new
+                            else:
+                                newde = newde | (de_new << (8 * qq))
+                                newdf = newdf | (df_new << (8 * qq))
+                            if qq == 3 or k == K - 1:
+                                vs[NC * K + npk + k // 4] = newde
+                                vs[NC * K + npk + npk2 + k // 4] = newdf
+                        # --- captures: hcol acc, Ecol accE, prow(F) ---
+                        sel = selbs[k] + tt
+                        sel = sel - jnp.where(sel >= 2048, 2048, 0)
+                        acc = jnp.where(i2d == sel, cell, acc)
+                        accE = jnp.where(i2d == sel, e_new, accE)
+                        st = [cell, sh1]
+                        if not px:
+                            st.append(xd)
+                        st += [acc, accE]
+                        if not pe:
+                            st += [e_new, f_new]
+                        if sp:
+                            sprow[k, pl.ds(tt, 1), :] = cell[SUB - 1:SUB, :]
+                            sprowF[k, pl.ds(tt, 1), :] = (
+                                f_new[SUB - 1:SUB, :]
+                            )
+                            if tt == 125:
+                                flat = sub_flush(sprow, k)
+                                flatF = sub_flush(sprowF, k)
+                                first = (l_row == 0) & (w == 0)
+                                flat = jnp.where(first, jnp.int32(0), flat)
+                                flatF = jnp.where(
+                                    first, jnp.int32(-(2 ** 30)), flatF
+                                )
+                                prow_out[k, 0:1, :] = flat
+                                prow_out[k, 1:2, :] = flatF
+                        else:
+                            sel_p = (tt + 2) % 128
+                            gate = c >= 2047
+                            bot = cell[SUB - 1:SUB, :]
+                            last = pltpu.roll(bot, (sel_p + 1) % 128,
+                                              axis=1)
+                            prow = jnp.where(
+                                (l_row == sel_p) & gate, last, prow
+                            )
+                            botF = f_new[SUB - 1:SUB, :]
+                            lastF = pltpu.roll(botF, (sel_p + 1) % 128,
+                                               axis=1)
+                            prowF = jnp.where(
+                                (l_row == sel_p) & gate, lastF, prowF
+                            )
+                            st += [prow, prowF]
+                        vs[NC * k: NC * (k + 1)] = st
+                return tuple(vs)
+
+            init = []
+            for k in range(K):
+                init += [a + k, a + k + 1]
+                if not px:
+                    init.append(a & 31)
+                init += [a, a + 2]
+                if not pe:
+                    init += [a + 3, a + 4]
+                if not sp:
+                    init += [a[0:1, :], a[0:1, :] + 1]
+            for p in range(npk):
+                init.append((a + p) & 31)
+            for p in range(2 * npk2):
+                init.append((a + p) & 255)
+            out = jax.lax.fori_loop(0, m, body, tuple(init))
+            s = out[0]
+            for v in out[1:]:
+                s = jnp.maximum(s, v[0:1, :] if v.shape[0] == 1 else v)
+            if sp:
+                for k in range(K):
+                    s = jnp.maximum(s, prow_out[k, 0:1, :])
+                    s = jnp.maximum(s, prow_out[k, 1:2, :])
+            o_ref[0:1, :] = s[0:1, :]
+
+        scratch_shapes = (
+            [pltpu.VMEM((K, 128, 128), jnp.int32),
+             pltpu.VMEM((K, 128, 128), jnp.int32),
+             pltpu.VMEM((K, SUB, 128), jnp.int32)]
+            if sp else []
+        )
+
+        @jax.jit
+        def run(a, pl_a):
+            return pl.pallas_call(
+                kernel,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_shape=jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                scratch_shapes=scratch_shapes,
+                interpret=interpret,
+            )(a, pl_a)
+
+        return run
+
+    flags = {
+        "base": {},
+        "pe": {"pe": True},
+        "sp": {"sp": True},
+        "pe_sp": {"pe": True, "sp": True},
+        "pe_px_sp": {"pe": True, "px": True, "sp": True},
+    }
+
+    if variants and variants[0] == "__check__":
+        names = variants[1:] or list(flags)
+        for name in names:
+            r = make_run(1, interpret=True, **flags[name])
+            np.asarray(jax.device_get(r(a8, planes)))
+        return {"check": "ok", "variants": names}
+    for name in variants:
+        kw = flags[name]
+
+        def mk(m, kw=kw):
+            r = make_run(m, **kw)
+            return lambda a: r(a, planes)
+
+        dt = _time_pair(mk, a8, 200, 1200)  # dt per window (128 steps)
+        ns_step = dt * 1e9 / (128 * K)
+        res[name] = {
+            "ns_per_chain_step": round(ns_step, 3),
+            "gcups": round(K * SUB * 128 * 128 / dt / 1e9, 2),
+        }
+    return res
+
+
+def probe_gridcost(K: int = 6, n: int = 23728) -> dict:
+    """Split the production nw_lg kernel's wall time into step-body vs
+    grid/window machinery, by timing pallas_mlsp_v2 at the tuned config
+    with ``bodyoff=True`` (full grid, per-window input reads, scratch
+    stores, flushes and output DMAs — but the 128 DP steps of every
+    window skipped) against the real kernel. Motivation (ROOFLINE §7.1):
+    at 23728² the full kernel runs ~45%, below its own measured step
+    body; this probe decides whether the gap is per-chunk machinery
+    (attack DMA/flush structure) or in-situ body-rate degradation, e.g.
+    the per-chain planes residency the fullstep probe does not model
+    (attack register pressure)."""
+    import functools
+
+    from ..ops.pallas_wavefront2 import _cdiv, pallas_mlsp_v2
+
+    R, W, TW = 2048, 512, 2048
+    rng = np.random.default_rng(7)
+    subst = jnp.asarray(
+        rng.integers(-4, 10, size=(25, 25)).astype(np.int32)
+    )
+    B_p = _cdiv(_cdiv(n, R), K) * K
+    rows_p, cols_p = B_p * R, _cdiv(n, TW) * TW
+    y = np.zeros(1 + rows_p, np.int32)
+    x = np.zeros(1 + cols_p, np.int32)
+    y[1: 1 + n] = rng.integers(0, 25, n)
+    x[1: 1 + n] = rng.integers(0, 25, n)
+    y_d, x_d = jnp.asarray(y), jnp.asarray(x)
+
+    # Wrap-grid chunk count (mirrors the pallas_mlsp_v2 geometry).
+    OFF = W * _cdiv(R + 256, W)
+    NSpad = _cdiv(R + cols_p - 1 + 128, W) * W
+    CH = (B_p // K) * (NSpad // W) + (K - 1) * (OFF // W)
+
+    res = {"device": jax.devices()[0].device_kind, "K": K, "n": n,
+           "chunks": int(CH)}
+    for name, boff in (("full", False), ("bodyoff", True)):
+
+        @functools.partial(jax.jit, static_argnames=("m",))
+        def loop(s, yj, xj, *, m, boff=boff):
+            def body(carry, _):
+                xj2 = xj.at[0].set(carry)
+                out = pallas_mlsp_v2(
+                    s, yj, xj2, jnp.int32(-11), jnp.int32(0),
+                    jnp.int32(n + 1), jnp.int32(n + 1),
+                    R=R, W=W, TW=TW, K=K, kind="nw", gap="linear",
+                    subprow=True, bodyoff=boff,
+                )
+                return out["hrow"][0, 0], None
+
+            c, _ = jax.lax.scan(body, jnp.int32(0), None, length=m)
+            return c
+
+        def t_of(m):
+            out = loop(subst, y_d, x_d, m=m)
+            _ = np.asarray(jax.device_get(out))
+            ts = []
+            for _i in range(4):
+                t0 = time.perf_counter()
+                out = loop(subst, y_d, x_d, m=m)
+                _ = np.asarray(jax.device_get(out))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        dt = (t_of(9) - t_of(1)) / 8
+        res[name] = {
+            "ms": round(dt * 1e3, 3),
+            "us_per_chunk": round(dt * 1e6 / CH, 2),
+        }
+    if "full" in res and "bodyoff" in res:
+        body_ms = res["full"]["ms"] - res["bodyoff"]["ms"]
+        # In-situ body rate: chunks * 512 chain-steps * K chains.
+        steps = CH * (W // 128) * 128 * K
+        res["body_ms"] = round(body_ms, 3)
+        res["insitu_ns_per_chain_step"] = round(body_ms * 1e6 / steps, 3)
+        res["machinery_frac"] = round(
+            res["bodyoff"]["ms"] / res["full"]["ms"], 3
+        )
     return res
 
 
@@ -554,6 +974,19 @@ def main(argv) -> int:
         print(json.dumps({
             "probe": "fullstep_nw_lg", "device": dev, "K": K,
             **probe_fullstep(K, variants),
+        }))
+    if which == "fullstep_affine":
+        K = int(argv[2]) if len(argv) > 2 else 6
+        variants = argv[3].split(",") if len(argv) > 3 else None
+        print(json.dumps({
+            "probe": "fullstep_nw_ag", "device": dev, "K": K,
+            **probe_fullstep_affine(K, variants),
+        }))
+    if which == "gridcost":
+        K = int(argv[2]) if len(argv) > 2 else 6
+        n = int(argv[3]) if len(argv) > 3 else 23728
+        print(json.dumps({
+            "probe": "gridcost_nw_lg", **probe_gridcost(K, n),
         }))
     if which == "subk":
         # Carry-height sweep: does sub=8 with 2x the chains beat the

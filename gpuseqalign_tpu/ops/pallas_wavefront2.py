@@ -66,7 +66,7 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                  masked: bool = False, wrap: bool = False,
                  packedx: bool = False, packedef: bool = False,
                  remath: bool = False, nobc: bool = False,
-                 subprow: bool = False):
+                 subprow: bool = False, bodyoff: bool = False):
     """Kernel factory shared by the full-matrix, batched and BANDED forms.
 
     ``banded`` (the per-device compute of the multi-chip giant engine,
@@ -159,6 +159,14 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
     # merges + one sublane max-reduce. Also frees the prow (and affine
     # prowF) loop-carry vreg per chain. Full-matrix + banded mlsp forms.
     assert not (subprow and (batch or dense))
+    # bodyoff (debug probe, ROOFLINE §7.2): skip the 128 DP steps of
+    # every window but keep the full grid, per-window input reads,
+    # scratch stores, flushes and output DMAs — T(bodyoff) isolates the
+    # grid/window machinery cost from the step-body cost. Outputs are
+    # junk; only reachable through an explicit pallas_mlsp_v2 kwarg.
+    assert not (bodyoff and not subprow)
+    assert not (bodyoff and (batch or dense or banded or capture_cost))
+    assert not (bodyoff and (packedx or packedef or remath or is_sw))
     NSpad = prev_len - 128
     SPB = NSpad // W  # wrap mode: chunks per row block
     BBtot = B // K if K else 1
@@ -583,6 +591,49 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                         lane_ok, i2d - clocs[k], jnp.int32(1 << 30)
                     ))
                     adjc2u.append((adjcs[k] - 2).astype(jnp.uint32))
+
+            if bodyoff:
+                # Grid/window-machinery probe: one cheap op chain per
+                # window that keeps every input stream (xwin, prevb
+                # windows, planes), the sprow scratch store, the prow
+                # flush (sub_flush + prevb store) and the hcol flush
+                # alive with their production gating — minus the 128 DP
+                # steps. The flags asserts above pin the carry layout to
+                # [v1, sh1p, xd, acc, (e1, f1, accE)] per chain.
+                for k in range(K):
+                    st = list(vs[NCAR * k: NCAR * (k + 1)])
+                    t = st[0] + pws[k][0] + pws[k][1] + xws[k]
+                    if affine:
+                        t = t + pws[k][2] + pws[k][3]
+                    # Keep the planes input DMA live (cannot fold).
+                    t = jnp.maximum(t, planes[k][0] - (1 << 30))
+                    sprow[k, pl.ds(0, 1), :] = t[SUB - 1:SUB, :]
+                    if affine:
+                        sprowF[k, pl.ds(0, 1), :] = t[SUB - 1:SUB, :]
+                    acc = jnp.maximum(st[3], t)
+                    cwk = jnp.maximum(clocs[k], 0)
+
+                    @pl.when((cwk >= R) & (cwk - R <= cols_p))
+                    def _(k=k, cwk=cwk):
+                        jb = pl.multiple_of(cwk - R, 128)
+                        prow = sub_flush(sprow, k)
+                        first = (l_row == 0) & (cwk == R)
+                        prow = jnp.where(first, prows[k][0:1, :], prow)
+                        prevb[k][0:1, pl.ds(jb, 128)] = prow
+                        if affine:
+                            prowF = sub_flush(sprowF, k)
+                            prevf[k][0:1, pl.ds(jb, 128)] = prowF
+
+                    @pl.when(jnp.mod(clocs[k], TW) == (R - 128) % TW)
+                    def _(k=k, acc=acc):
+                        hcol_refs[k][0, 0] = acc
+                        if affine:
+                            ecol_refs[k][0, 0] = acc
+
+                    st[0] = t
+                    st[3] = acc
+                    vs[NCAR * k: NCAR * (k + 1)] = st
+                return tuple(vs)
 
             for tt in range(128):
                 if packedx:
@@ -1082,13 +1133,15 @@ def wrap_interleave(parts, BBtot: int, K: int, tail: tuple):
 @functools.partial(
     jax.jit,
     static_argnames=("R", "W", "TW", "K", "kind", "gap", "interpret",
-                     "packedx", "packedef", "remath", "nobc", "subprow"),
+                     "packedx", "packedef", "remath", "nobc", "subprow",
+                     "bodyoff"),
 )
 def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
                    TW: int, K: int, kind: str = "nw", gap: str = "linear",
                    interpret: bool = False, packedx: bool = False,
                    packedef: bool = False, remath: bool = False,
-                   nobc: bool = False, subprow: bool = False):
+                   nobc: bool = False, subprow: bool = False,
+                   bodyoff: bool = False):
     """Sparse fill v2 for any spec. Returns a dict:
 
     hrow: (B, prev_len)         row (b+1)*R of H (indexed by global j)
@@ -1147,6 +1200,7 @@ def pallas_mlsp_v2(subst, Y, X, gapo, gape, adjr, adjc, *, R: int, W: int,
         prev_len=prev_len, B=B, kind=kind, gap=gap,
         masked=interpret, wrap=use_wrap, packedx=packedx,
         packedef=packedef, remath=remath, nobc=nobc, subprow=subprow,
+        bodyoff=bodyoff,
     )
     npk = _cdiv(K, 4) if packedx else 0
     npk2 = _cdiv(K, 4) if packedef else 0

@@ -198,7 +198,12 @@ def test_two_process_giant_pair(tmp_path):
     outs = []
     for p in procs:
         try:
-            stdout, stderr = p.communicate(timeout=540)
+            # The giant interpret-mode fill costs ~240 s of XLA compile
+            # per process when run alone; on a 1-CPU box the two workers
+            # compile concurrently (~2x) plus rendezvous + traceback, so
+            # 540 s is marginal there (measured 2026-08-20: single
+            # process 243 s, identical ±4% one commit back).
+            stdout, stderr = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
