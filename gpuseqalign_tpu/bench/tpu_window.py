@@ -117,6 +117,10 @@ def _step_cmds() -> "dict[str, list[str]]":
             "gpuseqalign_tpu.bench.validate_banded_flags_tpu"),
         "validate_tiny": mod("gpuseqalign_tpu.bench.validate_tiny_tpu"),
         "giant_ab": mod("gpuseqalign_tpu.bench.giant_ab_tpu"),
+        # Round-4c: re-open R=1024 (SUB=8) under subProw — the gridcost
+        # probe showed the wrap fill bubble (which R=1024 quarters) is
+        # the dominant waste at bench size (ROOFLINE.md §7.2).
+        "sweep_r4c": mod("gpuseqalign_tpu.bench.sweep_r4c"),
         "vpu_subk": mod("gpuseqalign_tpu.bench.vpu_probe", "subk"),
         "vpu_ablate": mod("gpuseqalign_tpu.bench.vpu_probe", "fullstep",
                           "7", "noacc,noprow,noxcarry,mincarry"),
