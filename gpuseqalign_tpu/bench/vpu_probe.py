@@ -555,13 +555,18 @@ def probe_fullstep_affine(K: int = 6, variants=None) -> dict:
       pe_sp     packedef + subprow — 5 carries/chain + shared words
       pe_px_sp  + packedx (packed xd shift register across chains) —
                 4 carries/chain; the production nw_ag tuned config
+      sw_pe_nb_sp  the sw_ag production body (K=6 packedef + noBc +
+                subProw): zero clamp + folded-guard value-only argmax
+                (+1 carry) on top of pe_sp — the sw_ag roofline
+                denominator
     """
     variants = variants or ["base", "pe", "pe_sp", "pe_px_sp"]
     a8 = jnp.ones((SUB, 128), jnp.int32)
     planes = jnp.ones((8, SUB, 128), jnp.int32)
     res = {}
 
-    def make_run(m, *, pe=False, px=False, sp=False, interpret=False):
+    def make_run(m, *, pe=False, px=False, sp=False, sw=False,
+                 nobc=False, interpret=False):
         def kernel(a_ref, planes_ref, o_ref, *scratch):
             pos = 0
             sprow = sprowF = prow_out = None
@@ -589,6 +594,8 @@ def probe_fullstep_affine(K: int = 6, variants=None) -> dict:
             # Per-chain carries: v1, sh1p, (xd), acc, accE,
             # (e1, f1 unless pe), (prow, prowF unless sp).
             NC = (3 if px else 4) + 1 + (0 if pe else 2) + (0 if sp else 2)
+            if sw:
+                NC += 1 if nobc else 2
             npk = (K + 3) // 4 if px else 0
             npk2 = (K + 3) // 4 if pe else 0
 
@@ -615,6 +622,15 @@ def probe_fullstep_affine(K: int = 6, variants=None) -> dict:
                 vs = list(carry)
                 clocs = [w * 128 + 511 - k for k in range(K)]
                 selbs = [jnp.mod(clocs[k] + 1, 2048) for k in range(K)]
+                if sw:
+                    # Folded argmax guard precompute (production: i2ws,
+                    # one unsigned range compare per step).
+                    i2ws = [
+                        jnp.where(i2d <= 2046, i2d - clocs[k],
+                                  jnp.int32(1 << 30))
+                        for k in range(K)
+                    ]
+                    bndu = jnp.uint32(2046)
                 for tt in range(128):
                     if px:
                         for p in range(npk):
@@ -646,6 +662,12 @@ def probe_fullstep_affine(K: int = 6, variants=None) -> dict:
                             n += 2
                         if not sp:
                             prow, prowF = st[n], st[n + 1]
+                        bv = bc = None
+                        if sw:
+                            nsw = n + (0 if sp else 2)
+                            bv = st[nsw]
+                            if not nobc:
+                                bc = st[nsw + 1]
                         c = clocs[k] + tt
                         # --- substitution operand + packed lookup ---
                         if px:
@@ -696,6 +718,20 @@ def probe_fullstep_affine(K: int = 6, variants=None) -> dict:
                         cell = jnp.maximum(
                             diag + s, jnp.maximum(e_new, f_new)
                         )
+                        if sw:
+                            # Zero clamp + folded-guard argmax capture
+                            # (production sw_ag body; clamp precedes the
+                            # packedef delta capture there too).
+                            cell = jnp.maximum(cell, 0)
+                            uu = (tt - i2ws[k]).astype(jnp.uint32)
+                            if nobc:
+                                bv = jnp.maximum(
+                                    bv, jnp.where(uu <= bndu, cell, 0)
+                                )
+                            else:
+                                upd = (cell > bv) & (uu <= bndu)
+                                bv = jnp.where(upd, cell, bv)
+                                bc = jnp.where(upd, c, bc)
                         if pe:
                             de_new = jnp.clip(cell - e_new, 0, -g)
                             df_new = jnp.clip(cell - f_new, 0, -g)
@@ -750,6 +786,10 @@ def probe_fullstep_affine(K: int = 6, variants=None) -> dict:
                                 (l_row == sel_p) & gate, lastF, prowF
                             )
                             st += [prow, prowF]
+                        if sw:
+                            st.append(bv)
+                            if not nobc:
+                                st.append(bc)
                         vs[NC * k: NC * (k + 1)] = st
                 return tuple(vs)
 
@@ -763,6 +803,10 @@ def probe_fullstep_affine(K: int = 6, variants=None) -> dict:
                     init += [a + 3, a + 4]
                 if not sp:
                     init += [a[0:1, :], a[0:1, :] + 1]
+                if sw:
+                    init.append(a + 5)
+                    if not nobc:
+                        init.append(a + 6)
             for p in range(npk):
                 init.append((a + p) & 31)
             for p in range(2 * npk2):
@@ -805,6 +849,10 @@ def probe_fullstep_affine(K: int = 6, variants=None) -> dict:
         "sp": {"sp": True},
         "pe_sp": {"pe": True, "sp": True},
         "pe_px_sp": {"pe": True, "px": True, "sp": True},
+        # SW-affine bodies: the sw_ag production config and its bc-carry
+        # variant — the sw_ag roofline denominators.
+        "sw_pe_nb_sp": {"pe": True, "sp": True, "sw": True, "nobc": True},
+        "sw_pe_sp": {"pe": True, "sp": True, "sw": True},
     }
 
     if variants and variants[0] == "__check__":
