@@ -99,16 +99,37 @@ def combine_rep_results(res_list: List[AlgResult]) -> AlgResult:
     return res
 
 
+# TensorCores per TPU chip by device generation — the closest analog of
+# CUDA's multiProcessorCount for occupancy-style accounting. v2-v4 and
+# v5p chips carry two TensorCores (v4's often presented as one "megacore"
+# device, still 2 physical cores); the lite/inference parts (v5e, v6e)
+# carry one. Used when the runtime exposes no core-count attribute.
+_TPU_CORES_BY_KIND = {
+    "tpu v2": 2, "tpu v3": 2, "tpu v4": 2, "tpu v5": 2, "tpu v5p": 2,
+    "tpu v5 lite": 1, "tpu v5e": 1, "tpu v6 lite": 1, "tpu v6e": 1,
+}
+
+
 def _device_core_count() -> int:
     """TPU-native analog of the reference's multiProcessorCount
-    (ref: src/benchmark.cpp:178-187): TensorCores per TPU device, host
-    CPU count on the CPU backend."""
+    (ref: src/benchmark.cpp:178-187): TensorCores per TPU device (from
+    runtime attrs when exposed, else the per-generation table above),
+    host CPU count on the CPU backend. The TSV sm_count column therefore
+    records TensorCores-per-chip on TPU runs."""
     try:
         import jax
 
         dev = jax.devices()[0]
         if dev.platform == "tpu":
-            return getattr(dev, "num_cores", None) or 1
+            for attr in ("num_cores", "core_count"):
+                v = getattr(dev, attr, None)
+                if v:
+                    return int(v)
+            kind = str(getattr(dev, "device_kind", "")).lower()
+            for key, n in _TPU_CORES_BY_KIND.items():
+                if kind.startswith(key):
+                    return n
+            return 1
         import os
 
         return os.cpu_count() or 1

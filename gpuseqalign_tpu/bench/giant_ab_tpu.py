@@ -23,6 +23,21 @@ import numpy as np
 
 SPECS = ("nw_lg", "sw_lg", "nw_ag", "sw_ag")
 
+# Loose analytic VMEM prefilter bound. Calibration note: Mosaic's scoped
+# budget is 16M, but the analytic v2_vmem_bytes cannot hit it exactly —
+# the known-GOOD nw_ag K=6 px+pe+subProw banded config models at ~16.6M
+# yet compiles, while the known-BAD sw_ag analog models at ~16.9M and
+# OOMs at 24.32M (the difference is Mosaic SPILL scratch, invisible to a
+# static model). So the analytic gate only rejects egregious shapes, and
+# shapes the chip has actually rejected are pinned in KNOWN_BAD below.
+VMEM_SCOPED_LIMIT = 20 << 20
+
+# (kind, gap, frozenset of enabled levers, kChains) observed to OOM the
+# compiler at the giant regime — never resubmitted (VERDICT r4 weak #2).
+KNOWN_BAD = {
+    ("sw", "affine", frozenset({"packedx", "packedef", "subProw"}), 6),
+}
+
 
 def flag_cands(spec_name: str) -> "list[dict]":
     """Lever candidates beyond base, giant regime. subProw (round 4) is
@@ -51,7 +66,7 @@ def main(argv) -> int:
 
     from ..core.types import AlgInput, AlgParams, AlgResult, AlignSpec, \
         Status
-    from ..ops.pallas_wavefront2 import tuned_cache
+    from ..ops.pallas_wavefront2 import _cdiv, tuned_cache, v2_vmem_bytes
     from ..parallel.giant2 import align_giant2
     from ..parallel.mesh import make_mesh
     from .autotune import save_defaults
@@ -71,6 +86,40 @@ def main(argv) -> int:
         spec = AlignSpec.from_name(spec_name)
         gapo, gape = -11, (-2 if spec.gap.value == "affine" else 0)
         base_k = 6 if spec_name.endswith("lg") else 4
+
+        def vmem_ok(cand) -> bool:
+            # Prefilter: never SUBMIT a shape the compiler is known to
+            # reject (the sw_ag K=6 px+pe+subProw candidate OOMs at
+            # 24.3M vs the 16M scoped limit and, when submitted, cost
+            # the rest of a queued window in round 4).
+            levers = frozenset(
+                k for k in ("packedx", "packedef", "rematHdr", "noBc",
+                            "subProw") if cand.get(k)
+            )
+            key = (spec.kind.value, spec.gap.value, levers,
+                   int(cand.get("kChains", base_k)))
+            if key in KNOWN_BAD:
+                print(f"  prefilter {spec_name} {cand}: known-bad shape",
+                      flush=True)
+                return False
+            R, TW, W = 2048, 2048, 512
+            D = int(mesh.devices.size)
+            band = _cdiv(max(cols, 1), D * TW) * TW
+            need = v2_vmem_bytes(
+                K=int(cand.get("kChains", base_k)), SUB=R // 128,
+                prev_len=_cdiv(R + band - 1 + 128, W) * W + 128, W=W,
+                affine=spec.gap.value == "affine",
+                is_sw=spec.kind.value == "sw",
+                packedx=bool(cand.get("packedx", 0)),
+                packedef=bool(cand.get("packedef", 0)),
+                subprow=bool(cand.get("subProw", 0)),
+            )
+            if need > VMEM_SCOPED_LIMIT:
+                print(f"  prefilter {spec_name} {cand}: "
+                      f"{need / 2**20:.1f}M VMEM > "
+                      f"{VMEM_SCOPED_LIMIT / 2**20:.0f}M limit", flush=True)
+                return False
+            return True
 
         def run(cand):
             nw = AlgInput()
@@ -117,6 +166,8 @@ def main(argv) -> int:
         best_cand, best_g = {"kChains": base_k}, g_base
         spec_fail = False
         for cand in flag_cands(spec_name):
+            if not vmem_ok(cand):
+                continue
             nf, rf, g_flag = run(cand)
             if rf is None:
                 print(f"SKIP {spec_name} {cand}: did not run")
@@ -141,8 +192,12 @@ def main(argv) -> int:
         if spec_fail:
             continue
         ent = dict(tuned_cache().get(spec_name, {}))
-        ent["banded"] = {**best_cand, "_gcups": round(best_g, 3),
-                         "_at_rows": rows}
+        # Pin the geometry the measurement/bit-equality ran at: the
+        # production banded path (giant2._tile_params) prefers these over
+        # the top-level tileBy/tileBx, which the full-matrix autotuner
+        # moves independently.
+        ent["banded"] = {**best_cand, "tileBy": 2048, "tileBx": 2048,
+                         "_gcups": round(best_g, 3), "_at_rows": rows}
         path = save_defaults(ent, spec_name)
         print(f"{spec_name}: banded default {ent['banded']} -> {path}")
 

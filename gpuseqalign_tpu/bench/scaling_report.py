@@ -122,8 +122,14 @@ jax.config.update("jax_platforms", "cpu")
 from gpuseqalign_tpu.core.types import (
     AlgInput, AlgParams, AlgResult, AlignSpec, Status,
 )
-from gpuseqalign_tpu.parallel import align_giant_mlsp, make_mesh
+from gpuseqalign_tpu.ops.pallas_banded import wrap_ok
+from gpuseqalign_tpu.ops.pallas_wavefront2 import _cdiv
+from gpuseqalign_tpu.parallel import align_giant2, make_mesh
+from gpuseqalign_tpu.parallel.giant2 import pick_kb
 
+# The PRODUCTION giant engine (giant2: banded v2 Pallas fill + ppermute
+# halos), not the legacy XLA row-scan — n_pass >> D so the pipeline
+# bubble, not the fill/drain edge case, is what's measured.
 D = int(sys.argv[1])
 rng = np.random.default_rng(7)
 def seq(n):
@@ -133,17 +139,18 @@ def seq(n):
 subst = rng.integers(-4, 10, size=(25, 25)).astype(np.int32)
 y, x = seq({rows}), seq({cols})
 mesh = make_mesh(D, axis_name="sp")
+R, TW, K = 128, 128, 2
+params = AlgParams({{"tileBy": [R], "tileBx": [TW], "kChains": [K]}})
 
 def run():
     nw = AlgInput()
     nw.subst = subst; nw.substsz = 25
     nw.seqY, nw.seqX = y, x
     nw.adjrows, nw.adjcols = len(y), len(x)
-    nw.gapo_cost = -11
-    nw.spec = AlignSpec.from_name("nw_lg")
+    nw.gapo_cost = -11; nw.gape_cost = -2
+    nw.spec = AlignSpec.from_name("{spec}")
     res = AlgResult()
-    stat = align_giant_mlsp(AlgParams({{"blockH": [256]}}), nw, res,
-                            mesh=mesh)
+    stat = align_giant2(params, nw, res, mesh=mesh, interpret=True)
     assert stat == Status.success, stat
     return res
 
@@ -155,10 +162,25 @@ for _ in range(3):
     ts.append(time.perf_counter() - t0)
 t = min(ts)
 cells = ({rows}) * ({cols})
+
+# Analytic wall model (the pick_kb efficiency model, giant2.py:109):
+# a pass of BL = KB*K row blocks is one wrap-echelon banded call of
+# KB*SPB + (K-1)*offw chunks; the scan runs n_pass + D - 1 steps.
+W = min(512, TW)
+band = _cdiv(max({cols}, 1), D * TW) * TW
+nb = _cdiv(max({rows}, 1), R)
+KB = pick_kb(nb, K, D, R=R, W=W, band_cols=band) \
+    if wrap_ok(R=R, W=W, K=K, band_cols=band) else 1
+BL = KB * K
+n_pass = _cdiv(nb, BL)
+NSpad = _cdiv(R + band - 1 + 128, W) * W
+offw = _cdiv(R + 256, W)
+wall_model = (n_pass + D - 1) * (KB * (NSpad // W) + (K - 1) * offw)
 print(json.dumps({{
-    "n_devices": D,
+    "n_devices": D, "KB": KB, "n_pass": n_pass,
     "gcups": round(cells / t / 1e9, 4),
     "gcups_per_device": round(cells / t / 1e9 / D, 4),
+    "wall_model_chunks": int(wall_model * D),
 }}))
 """
 
@@ -285,10 +307,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.quick:
         sizes = [(100 + 13 * k, 150 + 17 * k) for k in range(16)]
-        rows, cols = 512, 4096
+        rows, cols = 1024, 2048
     else:
         sizes = [(400 + 31 * k, 600 + 41 * k) for k in range(32)]
-        rows, cols = 1024, 16384
+        # giant2 at R=128/K=2: 16 row blocks -> n_pass 8 >> D-1, so the
+        # pipeline bubble (not the edge case) is what's measured; sized
+        # for interpret-mode Pallas on CPU devices.
+        rows, cols = 2048, 4096
 
     report = {"spec": args.spec, "host": socket.gethostname(),
               "configs": {}}
@@ -354,19 +379,25 @@ def main(argv: Optional[List[str]] = None) -> int:
             mh = json.loads(lines[-1])
     report["configs"]["2hosts"] = mh
 
-    # Giant pair: per-device efficiency D=1 vs D=4.
+    # Giant pair (giant2, the production engine): per-device efficiency
+    # D=1 vs D=4, measured next to the pick_kb analytic model.
     g1 = _run_worker(
-        GIANT_WORKER.format(rows=rows, cols=cols), {}, args=["1"],
+        GIANT_WORKER.format(rows=rows, cols=cols, spec=args.spec),
+        {}, args=["1"], timeout=2400,
     )
     g4 = _run_worker(
-        GIANT_WORKER.format(rows=rows, cols=cols),
+        GIANT_WORKER.format(rows=rows, cols=cols, spec=args.spec),
         {"XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
-        args=["4"],
+        args=["4"], timeout=2400,
     )
     report["configs"]["giant_pair"] = {
         "D1": g1, "D4": g4,
         "pipeline_efficiency": round(
             g4["gcups_per_device"] / g1["gcups_per_device"], 3
+        ),
+        # pick_kb model: per-device rate ~ cells / (D * wall chunks).
+        "model_efficiency": round(
+            g1["wall_model_chunks"] / g4["wall_model_chunks"], 3
         ),
     }
     # Giant-pair STREAM: M pairs through one pipelined fill vs M

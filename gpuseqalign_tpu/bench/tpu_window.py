@@ -117,10 +117,13 @@ def _step_cmds() -> "dict[str, list[str]]":
             "gpuseqalign_tpu.bench.validate_banded_flags_tpu"),
         "validate_tiny": mod("gpuseqalign_tpu.bench.validate_tiny_tpu"),
         "giant_ab": mod("gpuseqalign_tpu.bench.giant_ab_tpu"),
-        # Round-4c: re-open R=1024 (SUB=8) under subProw — the gridcost
-        # probe showed the wrap fill bubble (which R=1024 quarters) is
-        # the dominant waste at bench size (ROOFLINE.md §7.2).
-        "sweep_r4c": mod("gpuseqalign_tpu.bench.sweep_r4c"),
+        # Round-5a: corrected head-to-head retune (restores the true r4
+        # production controls the r4d merge lost) + same-window body
+        # probes incl. the sw_ag denominator.
+        "sweep_r5a": mod("gpuseqalign_tpu.bench.sweep_r5a"),
+        # Affine machinery split (the nw_ag gap localization).
+        "gridcost_ag": mod("gpuseqalign_tpu.bench.vpu_probe", "gridcost",
+                           "6", "23728", "affine"),
         "vpu_subk": mod("gpuseqalign_tpu.bench.vpu_probe", "subk"),
         "vpu_ablate": mod("gpuseqalign_tpu.bench.vpu_probe", "fullstep",
                           "7", "noacc,noprow,noxcarry,mincarry"),
@@ -155,6 +158,47 @@ DEFAULT_STEPS = ("validate_wrap", "validate_packedx", "validate_flags",
                  "scaling", "stream_ab_seq", "stream_ab_stream",
                  "autotune_nw_lg", "autotune_nw_ag", "autotune_sw_lg",
                  "autotune_sw_ag")
+
+
+def _commit_harvest(step: str, log_path: str) -> "str | None":
+    """Auto-commit tuned-cache writes with their evidence log, so a
+    window's results can't be silently lost in the working tree (VERDICT
+    r4: the r4d retune + its log sat uncommitted at round end). Copies
+    the step log into measurements/ (logs/ is gitignored), stages it with
+    resrc/tuned/, and commits. Returns the commit hash, None when the
+    cache is unchanged, or warns loudly when git fails."""
+    import shutil
+
+    chk = subprocess.run(
+        ["git", "status", "--porcelain", "resrc/tuned"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    if chk.returncode != 0 or not chk.stdout.strip():
+        return None
+    try:
+        dst = os.path.join(
+            REPO, "measurements",
+            f"tpu_window_{os.path.basename(os.path.dirname(log_path))}"
+            f"_{step}.log",
+        )
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(log_path, dst)
+        subprocess.run(["git", "add", "resrc/tuned", dst],
+                       check=True, cwd=REPO, capture_output=True)
+        subprocess.run(
+            ["git", "commit", "-m",
+             f"tpu_window harvest: {step} tuned-cache update"],
+            check=True, cwd=REPO, capture_output=True,
+        )
+        h = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                           capture_output=True, text=True, cwd=REPO)
+        return h.stdout.strip()
+    except Exception as e:
+        print(f"[tpu_window] WARNING: tuned cache changed by {step} but "
+              f"auto-commit failed ({type(e).__name__}: {e}) — commit "
+              f"resrc/tuned + {log_path} manually or the harvest is at "
+              f"risk", file=sys.stderr)
+        return None
 
 
 def run_window(steps: List[str], log_dir: str, step_timeout: int,
@@ -206,10 +250,15 @@ def run_window(steps: List[str], log_dir: str, step_timeout: int,
         except OSError:
             pass
         print(f"[tpu_window] {name}: rc={rc} in {dt:.0f}s -> {log_path}")
-        summary["steps"].append({
+        entry = {
             "step": name, "rc": rc, "seconds": round(dt, 1),
             "log": log_path, "tail": tail,
-        })
+        }
+        commit = _commit_harvest(name, log_path)
+        if commit:
+            print(f"[tpu_window] {name}: tuned cache committed ({commit})")
+            entry["harvest_commit"] = commit
+        summary["steps"].append(entry)
         flush()
     summary["complete"] = True
     flush()

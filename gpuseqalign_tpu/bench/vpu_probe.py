@@ -404,9 +404,11 @@ def probe_fullstep(K: int = 4, variants=None) -> dict:
                                         k, pl.ds(qq * SUB, SUB), :
                                     ]
                                     shift0 = (qq * SUB + 3) % 128
-                                    if shift0 + SUB - 1 > 128:
+                                    if shift0 + SUB - 1 >= 128:
                                         # Mosaic caps a strided rotate's
-                                        # max shift at the vreg width.
+                                        # max shift at the vreg width
+                                        # (exclusive bound, like
+                                        # production sub_flush).
                                         tile = pltpu.roll(
                                             tile, shift0, axis=1
                                         )
@@ -605,7 +607,7 @@ def probe_fullstep_affine(K: int = 6, variants=None) -> dict:
                 for qq in range(128 // SUB):
                     tile = scr[k, pl.ds(qq * SUB, SUB), :]
                     shift0 = (qq * SUB + 3) % 128
-                    if shift0 + SUB - 1 > 128:
+                    if shift0 + SUB - 1 >= 128:
                         tile = pltpu.roll(tile, shift0, axis=1)
                         shift0 = 0
                     rolled = pltpu.roll(
@@ -877,8 +879,32 @@ def probe_fullstep_affine(K: int = 6, variants=None) -> dict:
     return res
 
 
-def probe_gridcost(K: int = 6, n: int = 23728) -> dict:
-    """Split the production nw_lg kernel's wall time into step-body vs
+def roofline_body(kind: str, gap: str, K: int = 6) -> dict:
+    """Measure the spec's ROOFLINE-defining faithful step body NOW, in
+    the calling process — the window-invariant MFU denominator.
+
+    Absolute GCUPS drift up to ±25% between chip windows on identical
+    code (ROOFLINE.md §7), so bench.py divides its kernel measurement by
+    THIS same-window body rate instead of a recorded constant — the
+    same-run verification philosophy of the reference harness
+    (ref: src/benchmark.cpp:119-147, where expected values are always
+    set and checked within one run). The variant per spec is the fastest
+    measured faithful body (ROOFLINE.md §7/§7.1): linear = subprow K=6;
+    SW linear = sw_nobc_sp; NW affine = packedef (pe); SW affine =
+    sw_pe_nb_sp.
+    """
+    if gap == "affine":
+        name = "sw_pe_nb_sp" if kind == "sw" else "pe"
+        r = probe_fullstep_affine(K, [name])
+    else:
+        name = "sw_nobc_sp" if kind == "sw" else "subprow"
+        r = probe_fullstep(K, [name])
+    return {"variant": name, "K": K, **r[name]}
+
+
+def probe_gridcost(K: int = 6, n: int = 23728,
+                   gap: str = "linear") -> dict:
+    """Split the production kernel's wall time into step-body vs
     grid/window machinery, by timing pallas_mlsp_v2 at the tuned config
     with ``bodyoff=True`` (full grid, per-window input reads, scratch
     stores, flushes and output DMAs — but the 128 DP steps of every
@@ -887,7 +913,11 @@ def probe_gridcost(K: int = 6, n: int = 23728) -> dict:
     body; this probe decides whether the gap is per-chunk machinery
     (attack DMA/flush structure) or in-situ body-rate degradation, e.g.
     the per-chain planes residency the fullstep probe does not model
-    (attack register pressure)."""
+    (attack register pressure). ``gap="affine"`` probes the nw_ag
+    machinery (plain affine + subprow — bodyoff has no packedx/packedef
+    forms, but those only change the skipped step body; the affine
+    machinery deltas are the prevf windows, the sprowF flush and the
+    frow/ecol output DMAs, all present here)."""
     import functools
 
     from ..ops.pallas_wavefront2 import _cdiv, pallas_mlsp_v2
@@ -911,7 +941,7 @@ def probe_gridcost(K: int = 6, n: int = 23728) -> dict:
     CH = (B_p // K) * (NSpad // W) + (K - 1) * (OFF // W)
 
     res = {"device": jax.devices()[0].device_kind, "K": K, "n": n,
-           "chunks": int(CH)}
+           "gap": gap, "chunks": int(CH)}
     for name, boff in (("full", False), ("bodyoff", True)):
 
         @functools.partial(jax.jit, static_argnames=("m",))
@@ -919,9 +949,10 @@ def probe_gridcost(K: int = 6, n: int = 23728) -> dict:
             def body(carry, _):
                 xj2 = xj.at[0].set(carry)
                 out = pallas_mlsp_v2(
-                    s, yj, xj2, jnp.int32(-11), jnp.int32(0),
+                    s, yj, xj2, jnp.int32(-11),
+                    jnp.int32(-2 if gap == "affine" else 0),
                     jnp.int32(n + 1), jnp.int32(n + 1),
-                    R=R, W=W, TW=TW, K=K, kind="nw", gap="linear",
+                    R=R, W=W, TW=TW, K=K, kind="nw", gap=gap,
                     subprow=True, bodyoff=boff,
                 )
                 return out["hrow"][0, 0], None
@@ -1033,8 +1064,10 @@ def main(argv) -> int:
     if which == "gridcost":
         K = int(argv[2]) if len(argv) > 2 else 6
         n = int(argv[3]) if len(argv) > 3 else 23728
+        gap = argv[4] if len(argv) > 4 else "linear"
         print(json.dumps({
-            "probe": "gridcost_nw_lg", **probe_gridcost(K, n),
+            "probe": f"gridcost_nw_{'ag' if gap == 'affine' else 'lg'}",
+            **probe_gridcost(K, n, gap),
         }))
     if which == "subk":
         # Carry-height sweep: does sub=8 with 2x the chains beat the

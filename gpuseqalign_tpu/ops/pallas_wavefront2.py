@@ -439,10 +439,12 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
             for qq in range(128 // SUB):
                 tile = scr[k, pl.ds(qq * SUB, SUB), :]
                 shift0 = (qq * SUB + 3) % 128
-                if shift0 + SUB - 1 > 128:
+                if shift0 + SUB - 1 >= 128:
                     # Mosaic bounds a strided rotate's max per-sublane
-                    # shift at the vreg width; split the last group(s)
-                    # into a static rotate + a stride-only rotate.
+                    # shift at the vreg width (treat the bound as
+                    # EXCLUSIVE — a shift of exactly 128 must not rely
+                    # on an inclusive check); split such groups into a
+                    # static rotate + a stride-only rotate.
                     tile = pltpu.roll(tile, shift0, axis=1)
                     shift0 = 0
                 rolled = pltpu.roll(
@@ -1897,8 +1899,11 @@ def tuned_defaults(kind: str, gap: str, allow_packedx: bool = False) -> dict:
     if not allow_packedx and (ent["packedx"] or ent["packedef"]
                               or ent["rematHdr"] or ent["noBc"]
                               or ent["subProw"]):
-        # packedef/rematHdr/noBc/subProw share packedx's constraint:
-        # full-matrix mlsp kernel forms only.
+        # Strip the top-level flags for allow_packedx=False consumers:
+        # the batched/dense kernel forms cannot run them at all, and the
+        # banded/giant form takes its flags (and geometry) from its own
+        # hardware-validated ``banded`` sub-entry via _kernel_flags /
+        # _tile_params — never from these top-level keys.
         ent["kChains"] = min(
             int(ent["kChains"]), K_MAX_DEFAULT[(kind, gap)]
         )

@@ -353,15 +353,26 @@ def giant2_fill(subst, y, x_nohdr, gapo, gape, adjr, adjc, *, mesh: Mesh,
 
 def _tile_params(pr: AlgParams, spec) -> "tuple[int, int, int]":
     """(R, TW, K) for the banded engine: explicit params beat the
-    per-device autotune cache (TPU only) beat the 128/128/2 fallback."""
+    per-device autotune cache (TPU only) beat the 128/128/2 fallback.
+
+    The cache's per-spec ``banded`` sub-entry pins its OWN geometry
+    (tileBy/tileBx) alongside its flags: the banded kernels are
+    hardware-validated (giant_ab_tpu / validate_banded_flags_tpu) at that
+    geometry, and the top-level tileBy can move independently when the
+    full-matrix autotuner retunes — a sub-entry preference keeps the
+    production banded path on the geometry its _gcups and bit-equality
+    checks were actually measured at."""
     r_def, tw_def, k_def = 128, 128, 2
     try:
         if jax.default_backend() == "tpu":
-            from ..ops.pallas_wavefront2 import tuned_defaults
+            from ..ops.pallas_wavefront2 import tuned_cache, tuned_defaults
 
             tuned = tuned_defaults(spec.kind.value, spec.gap.value)
-            r_def = int(tuned.get("tileBy", r_def))
-            tw_def = int(tuned.get("tileBx", tw_def))
+            name = f"{spec.kind.value}" \
+                   f"_{'ag' if spec.gap == GapKind.AFFINE else 'lg'}"
+            band = tuned_cache().get(name, {}).get("banded", {})
+            r_def = int(band.get("tileBy", 0) or tuned.get("tileBy", r_def))
+            tw_def = int(band.get("tileBx", 0) or tuned.get("tileBx", tw_def))
             k_def = int(tuned.get("kChains", k_def))
     except Exception:
         pass

@@ -58,6 +58,37 @@ import numpy as np
 import pytest
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run the slow tier (multi-hour XLA:CPU compiles) too",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-hour-compile tier; excluded by default — run the "
+        "full battery with --runslow (or select it alone with -m slow)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # Two tiers (CLAUDE.md): the default run must stay well under an
+    # hour on this 1-CPU box; the ~4 multi-hour XLA:CPU-compile tests
+    # run only with --runslow or an explicit -m expression naming slow.
+    if config.getoption("--runslow") or "slow" in (
+        config.getoption("-m") or ""
+    ):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (use --runslow for the full battery)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 RESRC = os.path.join(os.path.dirname(__file__), "..", "resrc")
 
 # Every XLA:CPU executable holds ~40+ mmaps for the life of the process

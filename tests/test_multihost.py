@@ -170,11 +170,15 @@ print(json.dumps({
 """
 
 
+@pytest.mark.slow
 def test_two_process_giant_pair(tmp_path):
     """BASELINE config 5: ONE giant pair partitioned across a mesh that
     spans 2 processes (2 local devices each) — the lax.ppermute (H, E)
     halos cross the process boundary, and the sparse result stays
-    bit-exact vs the dense oracle."""
+    bit-exact vs the dense oracle.
+
+    Slow tier: ~2x240 s of XLA compile (the workers deliberately skip
+    the persistent cache — see the GIANT_WORKER comment)."""
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]

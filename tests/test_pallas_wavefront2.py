@@ -488,33 +488,56 @@ def test_v2_packedx_matches_base(blosum62, rng, rows, cols, R, W, TW, K,
             np.asarray(base[key]), np.asarray(packed[key]), err_msg=key)
 
 
+SLOW = pytest.mark.slow
+
+
 @pytest.mark.parametrize(
     "rows,cols,R,W,TW,K,spec_name,flags",
     [
+        # Default tier: one packedef case, one subprow case, and the full
+        # register-lever stack (px+pe+rm+sp on SW affine) — every lever
+        # is exercised. The remaining shape/spec matrix is the slow tier
+        # (~14 min of XLA:CPU compile per case; CLAUDE.md test tiers).
+        #
         # packedef: packed E/F byte deltas — an exact refactoring of the
         # affine carries (see the _make_kernel packedef doc), so FULL
         # output arrays must match base in masked/interpret mode.
         (300, 900, 128, 128, 128, 2, "nw_ag", dict(packedef=True)),
-        (290, 300, 128, 128, 256, 5, "sw_ag", dict(packedef=True)),
-        (400, 300, 128, 128, 128, 2, "sw_ag", dict(packedef=True)),
+        pytest.param(290, 300, 128, 128, 256, 5, "sw_ag",
+                     dict(packedef=True), marks=SLOW),
+        pytest.param(400, 300, 128, 128, 128, 2, "sw_ag",
+                     dict(packedef=True), marks=SLOW),
         # remath: scalar header rematerialization, all header shapes
         # (NW linear, NW affine, SW linear, SW affine).
-        (300, 900, 128, 128, 128, 2, "nw_lg", dict(remath=True)),
-        (290, 300, 128, 128, 256, 5, "nw_ag", dict(remath=True)),
-        (400, 300, 128, 128, 128, 2, "sw_lg", dict(remath=True)),
-        (300, 900, 128, 128, 128, 2, "sw_ag", dict(remath=True)),
+        pytest.param(300, 900, 128, 128, 128, 2, "nw_lg",
+                     dict(remath=True), marks=SLOW),
+        pytest.param(290, 300, 128, 128, 256, 5, "nw_ag",
+                     dict(remath=True), marks=SLOW),
+        pytest.param(400, 300, 128, 128, 128, 2, "sw_lg",
+                     dict(remath=True), marks=SLOW),
+        pytest.param(300, 900, 128, 128, 128, 2, "sw_ag",
+                     dict(remath=True), marks=SLOW),
         # the full register-lever stack, both grid modes
-        (300, 900, 128, 128, 128, 2, "nw_ag",
-         dict(packedx=True, packedef=True, remath=True)),
-        (290, 300, 128, 128, 256, 5, "sw_ag",
-         dict(packedx=True, packedef=True, remath=True)),
+        pytest.param(300, 900, 128, 128, 128, 2, "nw_ag",
+                     dict(packedx=True, packedef=True, remath=True),
+                     marks=SLOW),
+        pytest.param(290, 300, 128, 128, 256, 5, "sw_ag",
+                     dict(packedx=True, packedef=True, remath=True),
+                     marks=SLOW),
         # subprow: per-step bottom-sublane scratch store + per-window
         # strided-roll prow rebuild (ROADMAP lever #4) — prow/prowF
         # leave the loop carry, so every spec's output-row stream (and
         # affine's F rows) must still match bit-exactly, both grid modes.
         (300, 900, 128, 128, 128, 2, "nw_lg", dict(subprow=True)),
-        (290, 300, 128, 128, 256, 5, "nw_ag", dict(subprow=True)),
-        (400, 300, 128, 128, 128, 2, "sw_lg", dict(subprow=True)),
+        # R=256 (SUB=2): sub_flush's strided-roll split boundary — the
+        # qq=62 group's per-sublane shift reaches exactly 128, which must
+        # take the split (static roll + stride-only roll) path rather
+        # than rely on Mosaic's bound being inclusive.
+        (300, 900, 256, 256, 256, 2, "nw_lg", dict(subprow=True)),
+        pytest.param(290, 300, 128, 128, 256, 5, "nw_ag",
+                     dict(subprow=True), marks=SLOW),
+        pytest.param(400, 300, 128, 128, 128, 2, "sw_lg",
+                     dict(subprow=True), marks=SLOW),
         (300, 900, 128, 128, 128, 2, "sw_ag",
          dict(packedx=True, packedef=True, remath=True, subprow=True)),
     ],
