@@ -76,16 +76,16 @@ R, W, TW, K, PACKEDX, PACKEDEF, REMATH, SUBPROW = \
 # gpuseqalign_tpu/bench/vpu_probe.py (fullstep probe, /tmp/probe_b.log
 # checked into ROOFLINE.md).
 ROOFLINE_GCUPS = {
-    ("nw", "linear"): 183.9,   # fullstep subprow body @ K=6 (2026-08-20)
-    # SW body measures FASTER per cell than the linear body it extends
-    # (more ILP per step; within-window ratio 1.114 via the sw_nobc_sp
-    # probe) — ROOFLINE.md §7.1.
-    ("sw", "linear"): 204.8,
-    # Affine fullstep body (packedef, K=6): within-window ratio 0.818 of
-    # the linear subprow body — ROOFLINE.md §7.1. sw_ag shares it (no
-    # SW-affine body probe yet; provisional).
-    ("nw", "affine"): 150.4,
-    ("sw", "affine"): 150.4,
+    # Canonical constants anchored at the 2026-08-20 morning linear body
+    # (183.9), with the other specs scaled by the round-5 SAME-WINDOW
+    # body ratios (ROOFLINE.md §8.6; measurements/sweep_r5a.log probes:
+    # sw_lg 0.848, nw_ag 0.775, sw_ag 0.639 of the linear body). These
+    # feed mfu_canonical only — window drift is per-kernel (§8.2), so
+    # the headline mfu divides by a body measured in the SAME process.
+    ("nw", "linear"): 183.9,
+    ("sw", "linear"): 156.0,
+    ("nw", "affine"): 142.5,
+    ("sw", "affine"): 117.5,
 }
 
 

@@ -158,6 +158,14 @@ DEFAULT_V2_GRID = {
         {"kChains": 4, "packedx": 1, "rematHdr": 1, "subProw": 1},
         {"kChains": 6, "packedx": 1, "rematHdr": 1, "noBc": 1,
          "subProw": 1},
+        # Round 5: subProw frees the registers packedx/packedef existed
+        # to free, so the PLAIN K=6 subProw shapes compile for every
+        # spec and WON the nw_ag head-to-head by +51%
+        # (measurements/sweep_r5b_nwag.log; the bare kChains=6 subProw
+        # combo above covers the linear/affine plain shape) — keep the
+        # plain noBc form for the SW specs too.
+        {"kChains": 6, "noBc": 1, "subProw": 1},
+        {"kChains": 4, "subProw": 1},
     ],
 }
 

@@ -40,20 +40,22 @@ KNOWN_BAD = {
 
 
 def flag_cands(spec_name: str) -> "list[dict]":
-    """Lever candidates beyond base, giant regime. subProw (round 4) is
-    probed with and without the round-3 winners: the fullstep probe showed
-    subprow+packedx LOSES to subprow alone at K=6 (extract cost), so the
-    lists keep both shapes."""
+    """Lever candidates beyond base, giant regime. Round 5 found subProw
+    frees the registers packedx/packedef existed to free, so the PLAIN
+    K=6 subProw shape (74.6 vs 49.5 GCUPS full-matrix nw_ag,
+    measurements/sweep_r5b_nwag.log) leads the affine lists; the lever
+    combos are kept for A/B evidence at the giant regime."""
     if spec_name.endswith("lg"):
         return [
-            dict(kChains=6, packedx=1, rematHdr=1),
             dict(kChains=6, subProw=1),
-            dict(kChains=6, rematHdr=1, subProw=1),
+            dict(kChains=6, noBc=1, subProw=1) if spec_name == "sw_lg"
+            else dict(kChains=6, rematHdr=1, subProw=1),
         ]
     return [
-        dict(kChains=4, packedx=1, packedef=1, rematHdr=1),
+        dict(kChains=6, subProw=1),
+        dict(kChains=6, noBc=1, subProw=1) if spec_name == "sw_ag"
+        else dict(kChains=6, packedx=1, packedef=1, subProw=1),
         dict(kChains=4, subProw=1),
-        dict(kChains=6, packedx=1, packedef=1, subProw=1),
     ]
 
 

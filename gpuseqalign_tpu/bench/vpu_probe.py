@@ -855,6 +855,11 @@ def probe_fullstep_affine(K: int = 6, variants=None) -> dict:
         # variant — the sw_ag roofline denominators.
         "sw_pe_nb_sp": {"pe": True, "sp": True, "sw": True, "nobc": True},
         "sw_pe_sp": {"pe": True, "sp": True, "sw": True},
+        # Plain (unpacked E/F) SW-affine bodies: round 5 found subProw
+        # frees the registers packedef existed to free, making the plain
+        # forms both compilable and FASTER (ROOFLINE.md §8.5).
+        "sw_sp": {"sp": True, "sw": True},
+        "sw_nb_sp": {"sp": True, "sw": True, "nobc": True},
     }
 
     if variants and variants[0] == "__check__":
