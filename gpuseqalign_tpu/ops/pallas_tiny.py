@@ -340,7 +340,13 @@ def pallas_mlsp_tiny_v2(subst, Ys, Xs, gapo, gape, adjrs, adjcs, *,
         (1 + iloc_d[None] <= adjr_l - 1) & (adjc_l >= 2),
         iloc_d[None], jnp.int32(1 << 30),
     )
-    bndu = adjc_l - 2
+    # Clamp at 0: a degenerate pair's adjc - 2 (adjc < 2, e.g. the len1
+    # fixtures) must not wrap to a huge unsigned bound that out-ranges
+    # the 2^30-offset dead-lane uu and admits junk captures — the same
+    # round-3 fold bug fixed in pallas_wavefront2 (the adjc >= 2 term in
+    # ilocm already kills every lane; the clamped bound keeps the other
+    # side of the compare from resurrecting them).
+    bndu = jnp.maximum(adjc_l - 2, 0)
 
     kernel = _make_tiny_kernel(
         K=K, SUB=SUB, SUBP=SUBP, W=W, CH=CH, PR=PR, cols_p=cols_p,

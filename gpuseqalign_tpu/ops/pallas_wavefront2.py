@@ -592,7 +592,18 @@ def _make_kernel(*, K: int, SUB: int, W: int, CH: int, cols_p: int, R: int,
                     i2ws.append(jnp.where(
                         lane_ok, i2d - clocs[k], jnp.int32(1 << 30)
                     ))
-                    adjc2u.append((adjcs[k] - 2).astype(jnp.uint32))
+                    # Clamp the bound at 0: a DEGENERATE chain (banded
+                    # device wholly past the pair's real columns,
+                    # adjc_loc < 2 — reachable only through the giant
+                    # STREAM, whose band width is set by the widest
+                    # pair) must not let adjc - 2 wrap to a huge
+                    # unsigned bound that out-ranges even the
+                    # 2^30-offset dead-lane uu (round-3 fold bug: pad
+                    # diagonal runs then win the argmax; caught by
+                    # test_stream_matches_oracle[sw_*]).
+                    adjc2u.append(
+                        jnp.maximum(adjcs[k] - 2, 0).astype(jnp.uint32)
+                    )
 
             if bodyoff:
                 # Grid/window-machinery probe: one cheap op chain per

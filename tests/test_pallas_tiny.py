@@ -74,6 +74,40 @@ def test_tiny_kernel_matches_oracle(blosum62, rng, spec_name):
             assert int(np.asarray(out["cost"][i])) == want, f"pair {i}"
 
 
+def test_tiny_sw_degenerate_cols(blosum62, rng):
+    """Regression (round 5): an adjc=1 pair (empty X, e.g. the len1
+    fixtures) must capture NOTHING in the SW argmax — the unsigned
+    column bound adjc-2 would wrap to ~2^32 and out-range even the
+    2^30-offset dead-lane guard, letting pad-diagonal junk win bv
+    (the same folded-guard bug as the giant-stream degenerate device)."""
+    from gpuseqalign_tpu.ops.pallas_tiny import pallas_mlsp_tiny_v2
+
+    spec = AlignSpec.from_name("sw_lg")
+    PR, K = 256, 2
+    PPB = (16 * 128) // PR
+    NP = PPB * K
+    cols_p = 384
+    Ys, Xs, adjrs, adjcs, pairs = _bucket(
+        rng, NP, PR, cols_p, 100, 255, 150, 383
+    )
+    # Pair 1: empty X (adjc = 1); its long pad-letter diagonal would
+    # accumulate large positive junk without the clamped bound.
+    Xs[1] = 0
+    adjcs[1] = 1
+    out = pallas_mlsp_tiny_v2(
+        jnp.asarray(blosum62), jnp.asarray(Ys), jnp.asarray(Xs),
+        jnp.int32(-11), jnp.int32(0),
+        jnp.asarray(adjrs), jnp.asarray(adjcs),
+        PR=PR, K=K, kind="sw", gap="linear", interpret=True,
+    )
+    assert int(np.asarray(out["bv"][1]).max(initial=0)) == 0
+    # Non-degenerate neighbors in the same sub-block stay oracle-exact.
+    for i in (0, 2):
+        mats = oracle_align_dense(spec, blosum62, *pairs[i], -11, 0)
+        assert int(np.asarray(out["bv"][i]).max(initial=0)) == \
+            align_cost_of(spec, mats), f"pair {i}"
+
+
 def test_tiny_batch_wrapper(blosum62, rng):
     """_pallas_tiny_scores: padding to a full chain-group + degenerate
     pairs handled host-side, contract identical to scores_batch."""

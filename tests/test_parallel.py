@@ -204,16 +204,22 @@ class TestGiant2:
         [
             # packedx + halo-stripe remath through the echelon grid
             ("nw_lg", 2, {"packedx": [1], "rematHdr": [1]}),
-            # the full affine register-lever stack, echelon
-            ("nw_ag", 2, {"packedx": [1], "packedef": [1],
-                          "rematHdr": [1]}),
+            # Affine lever cases are slow-tier: single XLA:CPU interpret
+            # compiles of the affine lever bodies run 20+ min on this
+            # box (CLAUDE.md test tiers); the lever configs are also
+            # hardware-validated by validate_banded_flags_tpu.
+            pytest.param("nw_ag", 2,
+                         {"packedx": [1], "packedef": [1],
+                          "rematHdr": [1]}, marks=pytest.mark.slow),
             # packedef alone, K=5 spans two packed groups
-            ("sw_ag", 5, {"packedef": [1]}),
+            pytest.param("sw_ag", 5, {"packedef": [1]},
+                         marks=pytest.mark.slow),
             # subProw: scratch-store bottom-row capture + strided-roll
             # window rebuild (round 4), linear + affine (prow AND prowF)
             ("nw_lg", 2, {"subProw": [1]}),
-            ("sw_ag", 2, {"packedx": [1], "packedef": [1],
-                          "subProw": [1]}),
+            pytest.param("sw_ag", 2,
+                         {"packedx": [1], "packedef": [1],
+                          "subProw": [1]}, marks=pytest.mark.slow),
         ],
     )
     def test_banded_v2_flags(self, rng, blosum62, spec_name, k, flags):
@@ -228,8 +234,12 @@ class TestGiant2:
     @pytest.mark.parametrize(
         "spec_name,flags",
         [
-            ("nw_ag", {"packedx": [1], "packedef": [1], "rematHdr": [1]}),
+            pytest.param("nw_ag",
+                         {"packedx": [1], "packedef": [1],
+                          "rematHdr": [1]}, marks=pytest.mark.slow),
             ("sw_lg", {"packedx": [1], "rematHdr": [1]}),
+            # nw_ag subProw through the wrap grid stays default-tier:
+            # it is the PRODUCTION giant config (plain K6 subProw).
             ("nw_ag", {"subProw": [1]}),
         ],
     )
