@@ -44,17 +44,20 @@ def flag_cands(spec_name: str) -> "list[dict]":
     frees the registers packedx/packedef existed to free, so the PLAIN
     K=6 subProw shape (74.6 vs 49.5 GCUPS full-matrix nw_ag,
     measurements/sweep_r5b_nwag.log) leads the affine lists; the lever
-    combos are kept for A/B evidence at the giant regime."""
+    combos are kept for A/B evidence at the giant regime.
+
+    NOTE: noBc is NOT a banded lever — the kernel factory asserts
+    `not (nobc and banded)` and align_giant2 ignores the param, so a
+    noBc candidate here would silently A/B two identical kernels (this
+    exact mistake produced a noise-level "win" in the round-5 run)."""
     if spec_name.endswith("lg"):
         return [
             dict(kChains=6, subProw=1),
-            dict(kChains=6, noBc=1, subProw=1) if spec_name == "sw_lg"
-            else dict(kChains=6, rematHdr=1, subProw=1),
+            dict(kChains=6, rematHdr=1, subProw=1),
         ]
     return [
         dict(kChains=6, subProw=1),
-        dict(kChains=6, noBc=1, subProw=1) if spec_name == "sw_ag"
-        else dict(kChains=6, packedx=1, packedef=1, subProw=1),
+        dict(kChains=6, packedx=1, packedef=1, subProw=1),
         dict(kChains=4, subProw=1),
     ]
 
