@@ -185,9 +185,12 @@ def _commit_harvest(step: str, log_path: str) -> "str | None":
         shutil.copyfile(log_path, dst)
         subprocess.run(["git", "add", "resrc/tuned", dst],
                        check=True, cwd=REPO, capture_output=True)
+        # Path-limited commit: unrelated staged content (another tool's
+        # in-flight `git add`) must not ride along with the harvest.
         subprocess.run(
             ["git", "commit", "-m",
-             f"tpu_window harvest: {step} tuned-cache update"],
+             f"tpu_window harvest: {step} tuned-cache update",
+             "--", "resrc/tuned", dst],
             check=True, cwd=REPO, capture_output=True,
         )
         h = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
