@@ -169,6 +169,12 @@ def _commit_harvest(step: str, log_path: str) -> "str | None":
     cache is unchanged, or warns loudly when git fails."""
     import shutil
 
+    # Never commit from inside a test run: run_window is exercised by
+    # the test suite with fake steps, and a real `git commit` there
+    # would capture whatever happens to be dirty in the working tree
+    # (observed once: a test committed an in-progress tuned-cache edit).
+    if os.environ.get("PYTEST_CURRENT_TEST"):
+        return None
     chk = subprocess.run(
         ["git", "status", "--porcelain", "resrc/tuned"],
         capture_output=True, text=True, cwd=REPO,
